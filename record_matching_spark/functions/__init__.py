@@ -1,0 +1,18 @@
+from record_matching_spark.functions.text import (  # noqa: F401
+    language_id,
+    quality_score,
+    token_count,
+    doc_fingerprint,
+)
+from record_matching_spark.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dup_pairs,
+    ngram_jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from record_matching_spark.functions.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)

@@ -1,0 +1,144 @@
+"""Stage S4/S5: blocking keys + salted self-join candidate-pair generation.
+
+Reference analogs:
+- ANN-threshold blocking (/root/reference/record_matching/main.py:552-577;
+  Qdrant variants /root/reference/claude_poc/entity-resolution_v4.py:302-356)
+  → replaced by MinHash-LSH band keys (operators/minhash.py).
+- Exact composite-key blocking (/root/reference/claude_poc_v2/
+  vector_enhanced_entity_resolution_v2.py:1887-1918) → token-sorted key +
+  exact content-sha key.
+- The reference has NO skew mitigation (its only bound is a k=100 neighbor
+  cap, /root/reference/claude_poc/entity-resolution_v4.py:313). Here skewed
+  mega-blocks are defused by salting: a block of size s > salt_cap is split
+  into f = ceil(s/salt_cap) sub-buckets and the self-join enumerates the
+  f*(f+1)/2 unordered bucket combinations, so no single join key carries a
+  quadratic partition. AQE skew-join splitting is on as a second line of
+  defense.
+
+The emitted pair set is EXACTLY the unsalted pair set (proven by
+tests/test_blocking.py::test_salting_pair_set_equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from record_matching_spark.operators.minhash import minhash_bands, with_minhash_signature
+
+
+def token_sorted_key(tokens_col: str = "tokens", first_k: int = 24) -> F.Column:
+    """Exact blocking key: hash of the first `first_k` sorted distinct tokens.
+
+    The north rule's "token-sorted blocking keys computed per file" — catches
+    files whose low-sorting token prefix is untouched by mutations; the LSH
+    bands catch the rest. Pure Catalyst expression.
+    """
+    return F.concat(
+        F.lit("ts:"),
+        F.xxhash64(
+            F.concat_ws("_", F.slice(F.array_sort(F.array_distinct(F.col(tokens_col))), 1, first_k))
+        ).cast("string"),
+    )
+
+
+def blocking_keys(
+    files: DataFrame,
+    id_col: str = "file_id",
+    tokens_col: str = "tokens",
+    use_minhash: bool = True,
+    use_token_sorted: bool = True,
+    use_content_sha: bool = True,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    minhash_seed: int = 1,
+) -> DataFrame:
+    """(id, block_key) long table — union of the enabled blocking signals."""
+    parts: list[DataFrame] = []
+    if use_content_sha and "content_sha" in files.columns:
+        parts.append(
+            files.select(
+                F.col(id_col), F.concat(F.lit("cs:"), F.col("content_sha")).alias("block_key")
+            )
+        )
+    if use_token_sorted:
+        parts.append(files.select(F.col(id_col), token_sorted_key(tokens_col).alias("block_key")))
+    if use_minhash:
+        sigs = with_minhash_signature(
+            files.select(id_col, tokens_col),
+            tokens_col=tokens_col,
+            num_hashes=num_hashes,
+            seed=minhash_seed,
+        )
+        parts.append(
+            minhash_bands(
+                sigs, id_col=id_col, num_bands=num_bands, rows_per_band=rows_per_band
+            ).withColumnRenamed(id_col, id_col)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    id_col: str = "file_id",
+    salt_cap: int = 1000,
+    drop_cap: int | None = None,
+    repartition_blocks: bool = True,
+) -> DataFrame:
+    """Distinct candidate pairs (left < right) from a (id, block_key) table.
+
+    Within each block every unordered pair is emitted exactly once:
+    - small blocks (size ≤ salt_cap): plain self-join on block_key.
+    - big blocks: members hash into f = ceil(size/salt_cap) salt buckets;
+      the A-side replicates each member to buckets (s..f-1) as (s, j) keys,
+      the B-side to buckets (0..s) as (i, s) keys; joining on
+      (block_key, i, j) enumerates each bucket combination i ≤ j once.
+    - blocks larger than drop_cap (if set) are dropped wholesale — the
+      stop-word analog: a key shared by that many files carries no signal
+      (the reference's k-neighbor cap plays this role, claude_poc/
+      entity-resolution_v4.py:313).
+
+    Output: (left, right, block_key) with block_key = the minimum key that
+    produced the pair (deterministic representative).
+    """
+    w = Window.partitionBy("block_key")
+    b = blocks.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") > 1)
+    if drop_cap is not None:
+        b = b.filter(F.col("bsize") <= drop_cap)
+    b = b.withColumn(
+        "nsalt", F.ceil(F.col("bsize") / F.lit(salt_cap)).cast("int")
+    ).withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("nsalt")).cast("int"))
+
+    if repartition_blocks:
+        b = b.repartition(F.col("block_key"))
+
+    a_side = b.withColumn(
+        "j", F.explode(F.sequence(F.col("salt"), F.col("nsalt") - 1))
+    ).select(
+        "block_key",
+        F.col("salt").alias("bi"),
+        F.col("j").alias("bj"),
+        F.col(id_col).alias("_l"),
+    )
+    b_side = b.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("salt")))
+    ).select(
+        "block_key",
+        F.col("i").alias("bi"),
+        F.col("salt").alias("bj"),
+        F.col(id_col).alias("_r"),
+    )
+    raw = (
+        a_side.join(b_side, ["block_key", "bi", "bj"])
+        .filter((F.col("bi") != F.col("bj")) | (F.col("_l") < F.col("_r")))
+        .select(
+            F.least("_l", "_r").alias("left"),
+            F.greatest("_l", "_r").alias("right"),
+            "block_key",
+        )
+    )
+    return raw.groupBy("left", "right").agg(F.min("block_key").alias("block_key"))

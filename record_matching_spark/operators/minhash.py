@@ -1,0 +1,103 @@
+"""MinHash signatures as a vectorized Arrow/pandas UDF.
+
+Replaces the reference's GPU ANN beam-graph blocking
+(/root/reference/record_matching/main.py:175-191) and Qdrant HNSW
+(/root/reference/claude_poc_v2/vector_enhanced_entity_resolution_v2.py:153-163)
+with the standard MinHash-LSH construction: k seeded universal-hash
+permutations over the token set; signature[i] = min over tokens of
+(a_i * h(token) + b_i mod p). Matching probability per hash equals the
+Jaccard similarity of the token sets (Broder 1997), so banding the
+signature gives a tunable similarity join — no ANN service, no GPU.
+
+The permutation table is a pure function of (num_hashes, seed), so
+signatures are deterministic at any parallelism — required for the
+local[8] == local[32] byte-identical-clusters guarantee.
+
+Spark-side token hashing (xxhash64) stays in the JVM; only the k-way min
+runs in numpy, Arrow-batched — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_table(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "minhash",
+    num_hashes: int = 128,
+    seed: int = 1,
+) -> DataFrame:
+    """Append `out_col: array<long>` — the MinHash signature of the distinct
+    tokens in `tokens_col`. Empty token sets get an all--1 sentinel signature
+    (they only ever match each other)."""
+    a_tab, b_tab = _perm_table(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(token_hashes: pd.Series) -> pd.Series:
+        a = a_tab[:, None]
+        b = b_tab[:, None]
+        out = []
+        sentinel = np.full(num_hashes, -1, dtype=np.int64)
+        for arr in token_hashes:
+            if arr is None or len(arr) == 0:
+                out.append(sentinel)
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
+            # (k, n) universal hash; min over tokens → (k,)
+            vals = (a * h + b) % _MERSENNE_P
+            sig = vals.min(axis=1).astype(np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        F.array_distinct(F.col(tokens_col)), lambda t: F.xxhash64(t)
+    )
+    return df.withColumn(out_col, minhash_udf(token_hashes))
+
+
+def minhash_bands(
+    df: DataFrame,
+    sig_col: str = "minhash",
+    id_col: str = "file_id",
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode a signature into (id, block_key) LSH band rows.
+
+    block_key = 'mh:<band_idx>:<xxhash64 of the band slice>'. Two records
+    share a band key iff their signatures agree on all `rows_per_band`
+    positions of that band: P(share ≥1 band) = 1-(1-J^r)^b.
+    """
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda i: F.concat_ws(
+            ":",
+            F.lit("mh"),
+            i.cast("string"),
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).cast("string"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("block_key"))

@@ -1,0 +1,231 @@
+"""Deterministic synthetic `repo_files` generator (+ ground truth).
+
+The reference pipeline is exercised against a labeled library-catalog
+benchmark (records CSV + expanded match pairs,
+/root/reference/record_matching/context.py:114-115). We have no external
+data, so we synthesize the source-code analog mandated by
+BASELINE.json.input_hint: an Iceberg-shaped table
+
+    repo_files(repo string, path string, commit string, lang string, content string)
+
+whose rows form *clone families*: each entity (ground-truth cluster) spawns
+k members by bounded mutations (identifier renames, literal jitter, comment
+churn, line edits, whitespace churn) — the source-code analog of duplicate
+person records. Families contain 1-3 *sibling* entities that share a
+template but differ in core identifiers: these produce hard negative pairs
+that co-occur in blocks, mirroring the reference's hard-negative sampling
+(/root/reference/claude_poc/entity-resolution_v4.py:684-708).
+
+Generation is distributed (mapInPandas over a range of family ids) and
+seeded per family, so the output is byte-identical at any parallelism or
+partitioning — a determinism requirement the north rule tests at local[8]
+vs local[32].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["python", "java", "js", "go", "c"]
+_EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "c": "c"}
+
+_SYLL = [
+    "ar", "en", "ti", "ra", "lo", "mi", "ve", "qu", "ox", "ha",
+    "ze", "ku", "pa", "del", "gor", "fin", "tan", "ber", "sol", "nix",
+]
+
+# line kinds rendered with per-lang syntax
+_COMMENT = {"python": "#", "java": "//", "js": "//", "go": "//", "c": "//"}
+
+
+def _word(rng: random.Random) -> str:
+    return "".join(rng.choice(_SYLL) for _ in range(rng.randint(2, 4)))
+
+
+def _render_line(kind: int, words: list[str], lit: int, lang: str, indent: str) -> str:
+    a, b, c, d = (words + words)[:4]
+    if kind == 0:  # function def
+        if lang == "python":
+            return f"def {a}({b}, {c}):"
+        if lang == "go":
+            return f"func {a}({b} int, {c} int) int {{"
+        return f"{'function ' if lang == 'js' else 'static int '}{a}({b}, {c}) {{"
+    if kind == 1:  # assignment with call
+        sep = "" if lang == "python" else ";"
+        kw = "" if lang in ("python", "c", "java") else ("let " if lang == "js" else "var ")
+        return f"{indent}{kw}{a} = {b}.{c}({d}, {lit}){sep}"
+    if kind == 2:  # arithmetic
+        sep = "" if lang == "python" else ";"
+        return f"{indent}{a} = {b} * {lit} + {c}{sep}"
+    if kind == 3:  # return
+        sep = "" if lang == "python" else ";"
+        return f"{indent}return {a} + {b}{sep}"
+    if kind == 4:  # import
+        if lang == "python":
+            return f"import {a}"
+        if lang == "java":
+            return f"import {a}.{b};"
+        if lang == "go":
+            return f'import "{a}"'
+        if lang == "c":
+            return f'#include "{a}.h"'
+        return f'const {a} = require("{b}")'
+    return f"{indent}{_COMMENT[lang]} {a} {b} {c}"  # kind 5: comment
+
+
+def _gen_family(fid: int, seed: int, members_mean: int, heavy: bool) -> list[dict]:
+    """All rows for one clone family. Pure function of (fid, seed, knobs)."""
+    rng = random.Random(f"rmspark:{seed}:{fid}")
+    lang = LANGS[fid % len(LANGS)]
+    vocab = [_word(rng) for _ in range(26)]
+    n_lines = rng.randint(14, 26)
+    # base line plan: (kind, word indexes into vocab, literal)
+    plan = []
+    for i in range(n_lines):
+        kind = 0 if i == 1 else (4 if i == 0 else rng.choice([1, 1, 2, 2, 3, 5]))
+        plan.append((kind, [rng.randrange(len(vocab)) for _ in range(4)], rng.randint(2, 97)))
+
+    n_sibs = rng.choice([1, 1, 2, 3])
+    org = f"org{rng.randrange(60)}"
+    rows: list[dict] = []
+    for sib in range(n_sibs):
+        erng = random.Random(f"rmspark:{seed}:{fid}:{sib}")
+        # sibling entity: swap ~45% of vocab for entity-specific identifiers
+        evocab = list(vocab)
+        for i in range(len(evocab)):
+            if erng.random() < 0.45:
+                evocab[i] = _word(erng)
+        eplan = [(k, list(w), erng.randint(2, 97) if erng.random() < 0.5 else lit)
+                 for (k, w, lit) in plan]
+        proj = f"proj-{_word(erng)}"
+        module = _word(erng)
+        if heavy:
+            k = erng.randint(200, 400)
+        else:
+            k = max(1, min(20, int(erng.expovariate(1.0 / members_mean)) + 1))
+        entity_id = fid * 8 + sib
+        for m in range(k):
+            mrng = random.Random(f"rmspark:{seed}:{fid}:{sib}:{m}")
+            mvocab = list(evocab)
+            mplan = [(kk, list(w), lit) for (kk, w, lit) in eplan]
+            # bounded mutations
+            for _ in range(mrng.randint(0, 4)):
+                op = mrng.randrange(5)
+                if op == 0:  # rename one identifier everywhere
+                    mvocab[mrng.randrange(len(mvocab))] = _word(mrng)
+                elif op == 1:  # literal jitter
+                    i = mrng.randrange(len(mplan))
+                    kk, w, lit = mplan[i]
+                    mplan[i] = (kk, w, lit + mrng.randint(1, 9))
+                elif op == 2 and len(mplan) > 6:  # drop a line
+                    del mplan[mrng.randrange(2, len(mplan))]
+                elif op == 3:  # duplicate a line
+                    i = mrng.randrange(2, len(mplan))
+                    mplan.insert(i, mplan[i])
+                else:  # insert comment
+                    i = mrng.randrange(2, len(mplan) + 1)
+                    mplan.insert(i, (5, [mrng.randrange(len(mvocab)) for _ in range(4)],
+                                     mrng.randint(2, 97)))
+            indent = mrng.choice(["    ", "  ", "\t"])
+            lines = [_render_line(kk, [mvocab[i] for i in w], lit, lang, indent)
+                     for (kk, w, lit) in mplan]
+            if lang in ("java", "js", "go", "c"):
+                lines.append("}")
+            content = "\n".join(lines) + "\n"
+            commit = hashlib.sha1(
+                f"rmspark:{seed}:{fid}:{sib}:{m}".encode()).hexdigest()
+            sub = mrng.choice(["src", "lib", "core", "pkg"])
+            fname = module if mrng.random() < 0.7 else f"{module}_{_word(mrng)}"
+            rows.append({
+                "repo": f"{org}/{proj}",
+                "path": f"{sub}/{fname}.{_EXT[lang]}",
+                "commit": commit,
+                "lang": lang,
+                "content": content,
+                "entity_id": entity_id,
+                "family_id": fid,
+            })
+    return rows
+
+
+def synth_repo_files_with_truth(
+    spark: SparkSession,
+    n_families: int = 300,
+    seed: int = 42,
+    members_mean: int = 5,
+    heavy_families: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """repo_files + truth columns (entity_id, family_id) + file_id/content_sha.
+
+    `file_id = sha2(repo|path|commit, 256)` is the stable record id (the
+    reference's id/hash columns, /root/reference/record_matching/context.py:9-11);
+    `content_sha = sha2(content, 256)` is the per-row invariant column.
+    """
+    n_part = partitions or max(8, spark.sparkContext.defaultParallelism)
+    mm, sd, hv = members_mean, seed, heavy_families
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for fid in pdf["id"].tolist():
+                out.extend(_gen_family(int(fid), sd, mm, heavy=int(fid) < hv))
+            yield pd.DataFrame(
+                out,
+                columns=["repo", "path", "commit", "lang", "content",
+                         "entity_id", "family_id"],
+            )
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, entity_id long, family_id long")
+    fams = spark.range(0, n_families, numPartitions=n_part)
+    df = fams.mapInPandas(gen, schema=schema)
+    return df.withColumn(
+        "file_id", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256)
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def repo_files(df_truth: DataFrame) -> DataFrame:
+    """The bare input table per BASELINE.json.input_hint."""
+    return df_truth.select("repo", "path", "commit", "lang", "content")
+
+
+def entity_truth(df_truth: DataFrame) -> DataFrame:
+    """file_id → entity cluster id (the reference's CID column,
+    /root/reference/record_matching/main.py:717)."""
+    return df_truth.select("file_id", "entity_id")
+
+
+def labeled_pairs(df_truth: DataFrame) -> DataFrame:
+    """(left, right, match) labeled pairs: all within-family pairs.
+
+    Positives = same entity; hard negatives = sibling entities in the same
+    family (share a code template → co-occur in blocks). Canonicalized
+    left < right, the reference's pair convention
+    (/root/reference/record_matching/main.py:706,765).
+    """
+    a = df_truth.select(
+        F.col("family_id"),
+        F.col("file_id").alias("l_id"),
+        F.col("entity_id").alias("l_ent"),
+    )
+    b = df_truth.select(
+        F.col("family_id"),
+        F.col("file_id").alias("r_id"),
+        F.col("entity_id").alias("r_ent"),
+    )
+    return (
+        a.join(b, "family_id")
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select(
+            F.col("l_id").alias("left"),
+            F.col("r_id").alias("right"),
+            (F.col("l_ent") == F.col("r_ent")).alias("match"),
+        )
+    )

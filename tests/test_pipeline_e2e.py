@@ -1,0 +1,104 @@
+"""End-to-end acceptance gate (BASELINE.md targets):
+- pairwise F1 ≥ 0.99 on labeled pairs at the same blocking key
+- content sha256 per-row invariant vs the source table
+- killed run resumes from per-stage checkpoint → bit-identical clusters
+- cluster quality (ARI) vs ground-truth entity ids
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_matching_spark.operators.evaluate import (
+    adjusted_rand_index,
+    labeled_pair_metrics,
+    pairwise_metrics,
+    clusters_to_pairs,
+)
+from record_matching_spark.operators.normalize import assert_sha_invariant
+from record_matching_spark.operators.scoring import choose_threshold, score_pairs, train_weights
+from record_matching_spark.pipeline import Pipeline, PipelineConfig
+from record_matching_spark.synth import entity_truth, labeled_pairs, repo_files
+
+
+@pytest.fixture(scope="module")
+def run(spark, truth_df, tmp_path_factory):
+    work = tmp_path_factory.mktemp("pipeline")
+    files = repo_files(truth_df)
+    pipe = Pipeline(spark, work, PipelineConfig(tau=0.5))
+    clusters = pipe.run(files).cache()
+    clusters.count()
+    return {"pipe": pipe, "clusters": clusters, "files": files, "work": work}
+
+
+def test_sha_invariant(run, truth_df):
+    norm = run["pipe"]._read_stage("s1_normalized")
+    assert assert_sha_invariant(norm, repo_files(truth_df)) == 0
+
+
+def test_labeled_pair_f1_gate(run, spark, truth_df):
+    """The acceptance metric: F1 ≥ 0.99 on labeled pairs using trained
+    weights + swept threshold (reference metric analog, BASELINE.json)."""
+    pipe = run["pipe"]
+    feats = pipe._read_stage("s5_features")
+    lp = labeled_pairs(truth_df)
+    labeled_feats = feats.join(lp, ["left", "right"], "inner")
+    w = train_weights(labeled_feats)
+    scored = score_pairs(labeled_feats, w)
+    tau, _ = choose_threshold(scored)
+    m = labeled_pair_metrics(scored, lp, tau)
+    assert m["f1"] >= 0.99, m
+
+
+def test_cluster_quality(run, truth_df):
+    truth = entity_truth(truth_df)
+    ari = adjusted_rand_index(run["clusters"], truth)
+    assert ari >= 0.99, f"ARI {ari:.4f}"
+    # cluster pairs vs truth pairs
+    pred_pairs = clusters_to_pairs(run["clusters"])
+    true_pairs = clusters_to_pairs(
+        truth.withColumnRenamed("entity_id", "cluster_id")
+    )
+    m = pairwise_metrics(pred_pairs, true_pairs)
+    assert m["f1"] >= 0.99, m
+
+
+def test_manifests_and_lineage(run):
+    for stage in Pipeline.STAGES:
+        mf = run["work"] / stage / "_manifest.json"
+        assert mf.exists(), f"missing manifest for {stage}"
+        m = json.loads(mf.read_text())
+        assert m["complete"] and m["rows"] > 0
+        assert isinstance(m["partitions"], list) and len(m["partitions"]) >= 1
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+
+
+def test_resume_after_kill(run, spark, truth_df, tmp_path_factory):
+    """Simulate a killed run: stop after s4, then rerun to completion;
+    clusters must be identical to the uninterrupted run's."""
+    work2 = tmp_path_factory.mktemp("pipeline_resume")
+    files = repo_files(truth_df)
+    cfg = PipelineConfig(tau=0.5)
+    p1 = Pipeline(spark, work2, cfg)
+    assert p1.run(files, stop_after="s4_pairs") is None
+    # fresh Pipeline object = fresh process; earlier stages must be skipped
+    p2 = Pipeline(spark, work2, cfg)
+    clusters2 = p2.run(files)
+    for s in ["s1_normalized", "s2_sha_features", "s3_blocks", "s4_pairs"]:
+        assert p2.stage_metrics[s] == {"resumed": True}
+    a = run["clusters"]
+    assert a.exceptAll(clusters2).count() == 0
+    assert clusters2.exceptAll(a).count() == 0
+
+
+def test_config_change_invalidates_checkpoint(run, spark, truth_df, tmp_path_factory):
+    work3 = tmp_path_factory.mktemp("pipeline_cfg")
+    files = repo_files(truth_df)
+    p1 = Pipeline(spark, work3, PipelineConfig(tau=0.5))
+    p1.run(files, stop_after="s1_normalized")
+    p2 = Pipeline(spark, work3, PipelineConfig(tau=0.9))
+    p2.run(files, stop_after="s1_normalized")
+    assert "resumed" not in p2.stage_metrics["s1_normalized"]
