@@ -1,0 +1,224 @@
+"""Deduplication operators over a documents-shaped table.
+
+The engine's blocking machinery re-used as training-data dedup: exact
+(hash-groupBy), MinHash-LSH near-dup, SimHash, and n-gram Jaccard. Exact and
+Jaccard are pure Catalyst; MinHash/SimHash batch through Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from record_matching_spark.operators.blocking import candidate_pairs
+from record_matching_spark.operators.minhash import minhash_bands, with_minhash_signature
+from record_matching_spark.operators.normalize import tokenize
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text; keeps the minimum id as representative.
+    (The reference's dedup-by-hash stage, /root/reference/record_matching/
+    main.py:89-93.) Output: (<id_col>, <text_col>) of survivors."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_h"))
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .drop("_h")
+    )
+
+
+def exact_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All (left, right) id pairs with byte-identical text, left < right."""
+    a = df.select(F.sha2(F.col(text_col), 256).alias("_h"), F.col(id_col).alias("left"))
+    b = df.select(F.sha2(F.col(text_col), 256).alias("_h"), F.col(id_col).alias("right"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("left") < F.col("right"))
+        .select("left", "right")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs within optional groups.
+
+    Brute-force (quadratic per group) — the *oracle-grade* dedup for
+    small/grouped data; use minhash_near_dup_pairs for the scale path.
+    Output: (left, right, jaccard) with left < right.
+    """
+    toks = df.select(
+        *(group_cols or []),
+        F.col(id_col),
+        F.array_sort(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+    )
+    on = group_cols or []
+    a = toks.select(*on, F.col(id_col).alias("left"), F.col("_t").alias("_ta"))
+    b = toks.select(*on, F.col(id_col).alias("right"), F.col("_t").alias("_tb"))
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    union_sz = F.size(F.array_union("_ta", "_tb"))
+    return (
+        joined.filter(F.col("left") < F.col("right"))
+        .withColumn(
+            "jaccard",
+            F.when(union_sz == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("_ta", "_tb")).cast("double") / union_sz
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left", "right", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    salt_cap: int = 2000,
+    verify_exact: bool = True,
+    broadcast_features: bool | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (the 100-TB-scale dedup path).
+
+    shingle→minhash→band→bucket self-join; candidates are then exact-verified
+    with token Jaccard ≥ threshold (so LSH is recall machinery, not the
+    decision). P(candidate | J) = 1-(1-J^r)^b: at b=32, r=4 a J=0.8 pair is
+    missed with prob ≈ 5e-8. Output: (left, right, jaccard).
+
+    Join strategy: candidate pairs are deduped first (distinct on the two id
+    columns only — cross-band duplicates would otherwise multiply the
+    verification's array work), then per-doc token features are attached —
+    broadcast when the corpus is small (`broadcast_features=None` picks by
+    corpus row count), sort-merge otherwise.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+    )
+    sigs = with_minhash_signature(toks, tokens_col="_t", num_hashes=num_hashes)
+    blocks = minhash_bands(sigs, id_col="_id",
+                           num_bands=num_bands, rows_per_band=rows_per_band)
+    # the salted self-join scans blocks twice; persist EAGERLY so the
+    # signature UDF runs once and Catalyst/AQE plan the self-join with real
+    # sizes (the staged pipeline gets the same effect from its parquet
+    # checkpoint of the blocks stage)
+    blocks = blocks.persist()
+    blocks.count()
+    if not verify_exact:
+        return candidate_pairs(blocks, id_col="_id", salt_cap=salt_cap).select(
+            "left", "right"
+        )
+    if broadcast_features is None:
+        broadcast_features = df.count() <= 200_000
+    # verify on xxhash64'd token arrays: long-array intersect/union is ~9×
+    # cheaper than string arrays and Jaccard is unchanged (a 64-bit collision
+    # inside one pair's ~100-token union has probability ~1e-16)
+    toksh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+            )
+        ).alias("_t"),
+    )
+    a = toksh.select(F.col("_id").alias("left"), F.col("_t").alias("_ta"))
+    b = toksh.select(F.col("_id").alias("right"), F.col("_t").alias("_tb"))
+    if broadcast_features:
+        a, b = F.broadcast(a), F.broadcast(b)
+    # dedup-first: cross-band duplicate pairs would multiply the (array-
+    # copying) feature joins, and the pair stream is just two int64 columns —
+    # the cheapest thing in this plan to shuffle
+    pairs = candidate_pairs(
+        blocks, id_col="_id", salt_cap=salt_cap, keep_block_key=False
+    )
+    union_sz = F.size(F.array_union("_ta", "_tb"))
+    return (
+        pairs.join(a, "left")
+        .join(b, "right")
+        .withColumn(
+            "jaccard",
+            F.when(union_sz == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("_ta", "_tb")).cast("double") / union_sz
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left", "right", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash of the token multiset (Charikar 2002): sign of the
+    per-bit sum of token-hash bits weighted by token frequency. Arrow-batched
+    numpy; token hashing stays JVM-side (xxhash64)."""
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(token_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(token_hashes), dtype=np.int64)
+        for i, arr in enumerate(token_hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # (n_tokens, 64) bit matrix → column sums vs n/2
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            votes = bits.sum(axis=0) * 2 - len(h)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    token_hashes = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), simhash_udf(token_hashes).alias(out_col))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: block on each of `n_chunks` 16-bit signature chunks
+    (pigeonhole: hamming ≤ n_chunks-1 guarantees an identical chunk), then
+    exact-verify hamming distance ≤ max_hamming via bit_count (Catalyst).
+    Output: (left, right, hamming)."""
+    sh = simhash64(df, text_col=text_col, id_col=id_col)
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    keys = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit("sh"),
+                    F.lit(c),
+                    F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(mask),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("block_key"),
+    ).persist()  # scanned twice by the self-join
+    keys.count()  # eager: plan the self-join with known sizes
+    a = keys.select("block_key", F.col("_id").alias("left"), F.col("simhash").alias("_sa"))
+    b = keys.select("block_key", F.col("_id").alias("right"), F.col("simhash").alias("_sb"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("left") < F.col("right"))
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left", "right", "hamming")
+        .distinct()
+    )

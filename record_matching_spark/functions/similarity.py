@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact top-k (the correctness baseline) — cosine
+  computed JVM-side with zip_with/aggregate higher-order functions, top-k via
+  window row_number.
+- lsh_cosine_topk: random-hyperplane (SimHash) bucketed ANN — the scale path:
+  candidates only within matching hyperplane-sign buckets (multi-probe via
+  several tables), then exact cosine re-rank. Recall < 1 by construction;
+  tested against the brute-force baseline.
+- embedding_near_dup_pairs: all pairs above a cosine threshold (embedding
+  near-dup dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_EPS = 1e-12
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (pure Catalyst)."""
+    # cast operands to double BEFORE multiplying: float32 products lose bits
+    # and the result must be bit-identical to a double-precision oracle
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb + F.lit(_EPS))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k, the scale shape: the (small) query matrix is
+    broadcast to every corpus partition; each partition computes a
+    float64 matmul against its corpus tile and keeps a per-partition
+    partial top-k (mapInPandas, Arrow-batched); a final window merges
+    partials into the global top-k. The corpus never leaves its partitions
+    and the shuffle carries only ≤ k·partitions rows per query.
+    Ties broken by neighbor id. Output: (query_id, neighbor_id, rank);
+    self-matches excluded."""
+    import pandas as pd  # local: keep module import light
+
+    qid = query_id_col or id_col
+    q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("v")).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / (np.linalg.norm(q_mat, axis=1, keepdims=True) + _EPS)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    def partial_topk(batches):
+        ids, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["_nid"].to_numpy()
+            c_mat = np.array(list(pdf["_cv"]), dtype=np.float64)
+            c_norm = c_mat / (np.linalg.norm(c_mat, axis=1, keepdims=True) + _EPS)
+            sims = c_norm @ qn.T  # (batch, n_queries)
+            sims[c_ids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, sims.shape[0])
+            # per-query partial top-k within this tile
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                rows = top[:, j]
+                out_q.extend([ids[j]] * len(rows))
+                out_n.extend(c_ids[rows])
+                out_s.extend(sims[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "_cos": out_s}
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_cv")
+    )
+    partials = c.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, _cos double"
+    ).filter(F.col("_cos") > F.lit(float("-inf")))  # drop masked self-matches
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with cosine ≥ threshold; optional grouping
+    columns bound the quadratic blow-up (brute-force); left < right."""
+    on = group_cols or []
+    a = df.select(*on, F.col(id_col).alias("left"), F.col(vec_col).alias("_va"))
+    b = df.select(*on, F.col(id_col).alias("right"), F.col(vec_col).alias("_vb"))
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("left") < F.col("right"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("left", "right", "cos")
+    )
+
+
+def _hyperplanes(n_tables: int, bits: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, bits, dim)).astype(np.float64)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 12,
+    dim: int | None = None,
+    seed: int = 5,
+) -> DataFrame:
+    """(id, bucket) rows: per LSH table, bucket = sign pattern of `bits`
+    random hyperplane projections (Arrow-batched numpy matmul)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_tables, bits, dim, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        pow2 = (1 << np.arange(bits, dtype=np.int64))
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            # (tables, bits) projections
+            proj = planes @ x
+            codes = ((proj > 0).astype(np.int64) * pow2[None, :]).sum(axis=1)
+            # pack table index into the bucket id
+            out.append((codes + (np.arange(n_tables, dtype=np.int64) << np.int64(bits + 1))))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
+    )
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 10,
+    seed: int = 5,
+) -> DataFrame:
+    """Approximate top-k: join query/corpus hyperplane buckets, exact cosine
+    re-rank within candidates. Output: (query_id, neighbor_id, rank)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_tables, bits, dim, seed)
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_tables, bits, dim, seed)
+    cand = (
+        qb.withColumnRenamed(id_col, "query_id")
+        .join(cb.withColumnRenamed(id_col, "neighbor_id"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -28,17 +28,18 @@ from record_matching_spark.operators.minhash import minhash_bands, with_minhash_
 
 
 def token_sorted_key(tokens_col: str = "tokens", first_k: int = 24) -> F.Column:
-    """Exact blocking key: hash of the first `first_k` sorted distinct tokens.
+    """Exact blocking key: int64 hash of the first `first_k` sorted distinct
+    tokens (namespaced by the 'ts' literal inside the hash input).
 
     The north rule's "token-sorted blocking keys computed per file" — catches
     files whose low-sorting token prefix is untouched by mutations; the LSH
     bands catch the rest. Pure Catalyst expression.
     """
-    return F.concat(
-        F.lit("ts:"),
-        F.xxhash64(
-            F.concat_ws("_", F.slice(F.array_sort(F.array_distinct(F.col(tokens_col))), 1, first_k))
-        ).cast("string"),
+    return F.xxhash64(
+        F.lit("ts"),
+        F.concat_ws(
+            "_", F.slice(F.array_sort(F.array_distinct(F.col(tokens_col))), 1, first_k)
+        ),
     )
 
 
@@ -59,7 +60,8 @@ def blocking_keys(
     if use_content_sha and "content_sha" in files.columns:
         parts.append(
             files.select(
-                F.col(id_col), F.concat(F.lit("cs:"), F.col("content_sha")).alias("block_key")
+                F.col(id_col),
+                F.xxhash64(F.lit("cs"), F.col("content_sha")).alias("block_key"),
             )
         )
     if use_token_sorted:
@@ -88,6 +90,9 @@ def candidate_pairs(
     salt_cap: int = 1000,
     drop_cap: int | None = None,
     repartition_blocks: bool = True,
+    dedup: bool = True,
+    keep_block_key: bool = True,
+    persist_blocks: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a (id, block_key) table.
 
@@ -103,18 +108,37 @@ def candidate_pairs(
       entity-resolution_v4.py:313).
 
     Output: (left, right, block_key) with block_key = the minimum key that
-    produced the pair (deterministic representative).
+    produced the pair (deterministic representative). With dedup=False the
+    raw pair stream is returned (a pair may repeat, once per shared block) —
+    cheaper when a downstream filter shrinks the stream before its own
+    dedup (verify-then-dedup, see functions/dedup.py).
     """
+    # repartition FIRST so the census window reuses the same hash
+    # partitioning instead of shuffling twice (one exchange total).
+    # The partition COUNT is explicit: the pair self-join EXPLODES row
+    # counts quadratically per block, so neither AQE coalescing (which sees
+    # only the small pre-explosion bytes) nor the input file layout (a few
+    # scan partitions) may be allowed to serialize it.
+    if repartition_blocks:
+        n_part = int(
+            blocks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        b = blocks.repartition(n_part, F.col("block_key"))
+    else:
+        b = blocks
     w = Window.partitionBy("block_key")
-    b = blocks.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") > 1)
+    b = b.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") > 1)
     if drop_cap is not None:
         b = b.filter(F.col("bsize") <= drop_cap)
     b = b.withColumn(
         "nsalt", F.ceil(F.col("bsize") / F.lit(salt_cap)).cast("int")
     ).withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("nsalt")).cast("int"))
-
-    if repartition_blocks:
-        b = b.repartition(F.col("block_key"))
+    if persist_blocks:
+        # the self-join scans b twice; without materialization the whole
+        # upstream (signature UDF included) runs twice and the join is
+        # planned blind. Callers that already checkpointed blocks to
+        # storage (the staged pipeline) can pass persist_blocks=False.
+        b = b.persist()
 
     a_side = b.withColumn(
         "j", F.explode(F.sequence(F.col("salt"), F.col("nsalt") - 1))
@@ -141,4 +165,10 @@ def candidate_pairs(
             "block_key",
         )
     )
+    if not dedup:
+        return raw if keep_block_key else raw.select("left", "right")
+    if not keep_block_key:
+        # shuffles only the two id columns — cheaper when the caller doesn't
+        # need the block provenance (e.g. dedup verification)
+        return raw.select("left", "right").distinct()
     return raw.groupBy("left", "right").agg(F.min("block_key").alias("block_key"))

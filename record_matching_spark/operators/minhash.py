@@ -79,25 +79,26 @@ def minhash_bands(
 ) -> DataFrame:
     """Explode a signature into (id, block_key) LSH band rows.
 
-    block_key = 'mh:<band_idx>:<xxhash64 of the band slice>'. Two records
-    share a band key iff their signatures agree on all `rows_per_band`
-    positions of that band: P(share ≥1 band) = 1-(1-J^r)^b.
+    block_key = xxhash64('mh', band_idx, band slice) — a compact int64 so
+    the downstream self-join and pair-dedup shuffle 8-byte keys instead of
+    strings (a cross-namespace or cross-band hash collision merely merges
+    two blocks: candidates are verified/scored downstream, so a ~2⁻⁶⁴
+    collision costs a few extra candidate pairs, never correctness).
+    Two records share a band key iff their signatures agree on all
+    `rows_per_band` positions of that band: P(share ≥1 band) = 1-(1-J^r)^b.
     """
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda i: F.concat_ws(
-            ":",
+        lambda i: F.xxhash64(
             F.lit("mh"),
-            i.cast("string"),
-            F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    F.transform(
-                        F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).cast("string"),
+            i,
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
         ),
     )
     return df.select(F.col(id_col), F.explode(bands).alias("block_key"))

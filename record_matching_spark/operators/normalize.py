@@ -31,6 +31,11 @@ def normalize_files(files: DataFrame, content_col: str = "content") -> DataFrame
     """Add the engine's derived columns to a repo_files-shaped table.
 
     - file_id      : sha2(repo|path|commit) — stable record id
+    - fid          : xxhash64(file_id) — compact int64 surrogate id used for
+                     blocking/pairing/clustering shuffles (8 bytes instead of
+                     a 64-char string; a collision merges two records, with
+                     probability n²/2⁶⁵ — at 10¹²-file scale widen to 128 bits
+                     by adding a second seeded hash column to every join key)
     - content_sha  : sha2(content, 256) — per-row invariant vs the source table
     - tokens       : lowercased word tokens (array<string>)
     - n_tokens     : token count
@@ -43,7 +48,8 @@ def normalize_files(files: DataFrame, content_col: str = "content") -> DataFrame
     if "content_sha" not in files.columns:
         out = out.withColumn("content_sha", F.sha2(F.col(content_col), 256))
     return (
-        out.withColumn("tokens", tokenize(F.col(content_col)))
+        out.withColumn("fid", F.xxhash64("file_id"))
+        .withColumn("tokens", tokenize(F.col(content_col)))
         .withColumn("n_tokens", F.size("tokens"))
     )
 

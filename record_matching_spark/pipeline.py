@@ -145,10 +145,14 @@ class Pipeline:
         if stop_after == "s2_sha_features":
             return None
 
+        # blocking → pairing → scoring all run on the compact int64 surrogate
+        # `fid` (8-byte shuffle keys); the 64-char file_id string reappears
+        # only in the final cluster mapping
         blocks = self._stage(
             "s3_blocks",
             lambda: blocking_keys(
                 norm,
+                id_col="fid",
                 num_hashes=cfg.num_hashes,
                 num_bands=cfg.num_bands,
                 rows_per_band=cfg.rows_per_band,
@@ -160,12 +164,17 @@ class Pipeline:
 
         pairs = self._stage(
             "s4_pairs",
-            lambda: candidate_pairs(blocks, salt_cap=cfg.salt_cap, drop_cap=cfg.drop_cap),
+            lambda: candidate_pairs(
+                blocks, id_col="fid", salt_cap=cfg.salt_cap, drop_cap=cfg.drop_cap,
+                persist_blocks=False,  # blocks already parquet-materialized
+            ),
         )
         if stop_after == "s4_pairs":
             return None
 
-        feats = self._stage("s5_features", lambda: pair_features(pairs, norm, shaf=shaf))
+        feats = self._stage(
+            "s5_features", lambda: pair_features(pairs, norm, shaf=shaf, id_col="fid")
+        )
         if stop_after == "s5_features":
             return None
 
@@ -177,7 +186,10 @@ class Pipeline:
             edges = scores.filter(F.col("score") > cfg.tau).select(
                 F.col("left").alias("src"), F.col("right").alias("dst")
             )
-            return cluster_assignments(edges, norm, "file_id")
+            assign = cluster_assignments(edges, norm, "fid")
+            return assign.join(norm.select("fid", "file_id"), "fid").select(
+                "file_id", "cluster_id"
+            )
 
         clusters = self._stage("s7_clusters", build_clusters)
         self._write_run_metrics()

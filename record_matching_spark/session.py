@@ -33,6 +33,13 @@ def get_spark(
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
+    # shuffle/spill scratch: prefer tmpfs when present — local-mode shuffles
+    # otherwise bottleneck on the (often virtualized, noisy) block device.
+    # On a real cluster this comes from spark-submit / node config instead.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -45,6 +52,8 @@ def get_spark(
         .config("spark.driver.memory", mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # master() only applies when we are actually creating the session; under
     # spark-submit the cluster master wins (getOrCreate returns the active one).
     builder = builder.master(master)

@@ -1,0 +1,79 @@
+"""Sources & sinks for the engine's tables.
+
+Reference analogs: CSV/Parquet scans with explicit pyarrow schemas
+(/root/reference/record_matching/context.py:110-154) and per-stage Parquet
+sinks (/root/reference/record_matching/main.py:136,158,190,...).
+
+Spark-first: explicit StructType enforced on read (never inferred for the
+contract table), Iceberg catalog tables when the runtime has the Iceberg
+extensions (gated — this sandbox has plain Parquet only), partitioned
+writes for stage outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# the BASELINE.json.input_hint contract schema
+REPO_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        exts = spark.conf.get("spark.sql.extensions") or ""
+    except Exception:
+        return False
+    return "IcebergSparkSessionExtensions" in exts
+
+
+def read_repo_files(
+    spark: SparkSession,
+    source: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read the repo_files input table.
+
+    `source` is an Iceberg table name (catalog.db.table) when the session
+    has Iceberg extensions and fmt='iceberg'; otherwise a path read with the
+    contract schema enforced (parquet/csv). Enforced schema means a
+    malformed table fails AT READ, not three stages later.
+    """
+    if fmt == "iceberg":
+        if not _has_iceberg(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requires Iceberg Spark extensions on the cluster; "
+                "this runtime has none — use fmt='parquet'"
+            )
+        return spark.table(source)
+    if fmt == "csv":
+        return spark.read.schema(REPO_FILES_SCHEMA).option("header", "true").csv(source)
+    return spark.read.schema(REPO_FILES_SCHEMA).parquet(source)
+
+
+def write_stage(
+    df: DataFrame,
+    dest: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Stage sink: Parquet directory (or Iceberg table when available),
+    optionally hive-partitioned — the reference partitions its templated
+    stage by `key` (/root/reference/record_matching/context.py:122); our
+    pipeline partitions blocks/pairs by block-key bucket when asked."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "iceberg":
+        df.writeTo(dest).createOrReplace()
+        return
+    w.format(fmt).save(dest)

@@ -202,22 +202,29 @@ def entity_truth(df_truth: DataFrame) -> DataFrame:
     return df_truth.select("file_id", "entity_id")
 
 
-def labeled_pairs(df_truth: DataFrame) -> DataFrame:
+def labeled_pairs(df_truth: DataFrame, id_space: str = "file_id") -> DataFrame:
     """(left, right, match) labeled pairs: all within-family pairs.
 
     Positives = same entity; hard negatives = sibling entities in the same
     family (share a code template → co-occur in blocks). Canonicalized
     left < right, the reference's pair convention
     (/root/reference/record_matching/main.py:706,765).
+
+    id_space="fid" emits the engine's compact int64 surrogate ids
+    (xxhash64(file_id)) with the ordering canonicalized in fid space so
+    the pairs join directly against the pipeline's scored pairs.
     """
+    key = (
+        F.col("file_id") if id_space == "file_id" else F.xxhash64("file_id")
+    )
     a = df_truth.select(
         F.col("family_id"),
-        F.col("file_id").alias("l_id"),
+        key.alias("l_id"),
         F.col("entity_id").alias("l_ent"),
     )
     b = df_truth.select(
         F.col("family_id"),
-        F.col("file_id").alias("r_id"),
+        key.alias("r_id"),
         F.col("entity_id").alias("r_ent"),
     )
     return (

@@ -1,0 +1,144 @@
+"""Dedup / similarity / text / multimodal operators on the driver testdata."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from record_matching_spark.functions.dedup import (
+    exact_dedup,
+    exact_dup_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from record_matching_spark.functions.multimodal import extract_media_features, synth_media
+from record_matching_spark.functions.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
+from record_matching_spark.functions.text import add_text_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    surv = exact_dedup(df)
+    assert {(r["doc_id"], r["text"]) for r in surv.collect()} == {(1, "aa"), (3, "bb")}
+    pairs = exact_dup_pairs(df)
+    assert [(r["left"], r["right"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_minhash_matches_bruteforce_jaccard(docs):
+    """LSH+verify must equal brute-force jaccard≥0.9 on the documents table
+    (recall of a J≥0.9 pair at b=32,r=4 is 1-(1-0.9^4)^32 ≈ 1-1e-15)."""
+    brute = ngram_jaccard_pairs(docs, threshold=0.9).select("left", "right")
+    lsh = minhash_near_dup_pairs(docs, threshold=0.9).select("left", "right")
+    assert brute.count() > 0, "fixture should contain near-dup docs"
+    assert brute.exceptAll(lsh).count() == 0
+    assert lsh.exceptAll(brute).count() == 0
+
+
+def test_simhash_pairs_are_similar(docs):
+    sh = simhash64(docs)
+    assert sh.count() == docs.count()
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3)
+    got = pairs.limit(200).collect()
+    assert len(got) > 0
+    # simhash near-dups must be more similar than the corpus average
+    # (this fixture's docs share one tiny vocabulary, so the margin is small)
+    j = ngram_jaccard_pairs(docs, threshold=0.0).cache()
+    corpus_avg = j.agg(F.avg("jaccard")).collect()[0][0]
+    checked = pairs.join(j, ["left", "right"]).agg(F.avg("jaccard")).collect()[0][0]
+    assert checked > corpus_avg, f"simhash pairs {checked:.3f} ≤ corpus {corpus_avg:.3f}"
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(queries, emb, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(5):
+        q = vecs[qid]
+        sims = sorted(
+            (
+                (-float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v) + 1e-12)), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )
+        )[:3]
+        want = [nid for _, nid in sims]
+        assert [nid for _, nid in sorted(by_q[qid])] == want, f"query {qid}"
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(queries, emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_cosine_topk(queries, emb, k=3, n_tables=16, bits=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.3f}"
+
+
+def test_embedding_near_dups_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.02, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = embedding_near_dup_pairs(df, threshold=0.95)
+    assert [(r["left"], r["right"]) for r in got.collect()] == [(1, 2)]
+
+
+def test_text_features(docs):
+    out = add_text_features(docs).cache()
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    # doc 0 starts "the fast key order sort ..." — whitespace token count
+    text = row["text"]
+    assert row["n_tokens"] == len(text.split())
+    assert 0.0 <= row["quality"] <= 1.0
+    langs = {r["lang_guess"] for r in out.select("lang_guess").distinct().collect()}
+    assert "en" in langs
+    assert out.filter(F.col("fingerprint").isNull()).count() == 0
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=48)
+    feats = extract_media_features(media.repartition(4))
+    got = feats.collect()
+    assert len(got) == 48
+    for r in got:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: tuple(r["feature"])
+             for r in extract_media_features(media.repartition(2)).collect()}
+    first = {r["media_id"]: tuple(r["feature"]) for r in got}
+    assert first == again

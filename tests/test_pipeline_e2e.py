@@ -44,7 +44,7 @@ def test_labeled_pair_f1_gate(run, spark, truth_df):
     weights + swept threshold (reference metric analog, BASELINE.json)."""
     pipe = run["pipe"]
     feats = pipe._read_stage("s5_features")
-    lp = labeled_pairs(truth_df)
+    lp = labeled_pairs(truth_df, id_space="fid")
     labeled_feats = feats.join(lp, ["left", "right"], "inner")
     w = train_weights(labeled_feats)
     scored = score_pairs(labeled_feats, w)
