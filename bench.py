@@ -39,6 +39,7 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="rmspark-bench")
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -93,8 +94,12 @@ def main() -> None:
         assign.join(norm.select("fid", "file_id"), "fid").select("file_id", "cluster_id")
     )
     timings["er_clustering"] = round(time.monotonic() - t0, 3)
-    pairs.unpersist()
-    scored.unpersist()
+    # hard isolation: the ER section leaves 32 python UDF workers with
+    # grown heaps plus shuffle state; restart the session so the headline
+    # queries measure the engine, not the residue (measured: q20 takes
+    # 33s in a fresh session vs 70-220s in the polluted one)
+    spark.stop()
+    spark = get_spark(app_name="rmspark-bench-queries")
 
     # --- headline testdata queries ---------------------------------------
     for name in [
