@@ -236,13 +236,16 @@ def _q18_tokenset_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return a.join(b, "k").filter(F.col("left") < F.col("right")).select("left", "right")
 
 
-def _q19_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup: exact n-gram/token Jaccard within lang groups (pure Catalyst
-    array_intersect/array_union — reference Jaccard, claude_poc_v2:1252-1266)."""
-    from record_matching_spark.functions.dedup import ngram_jaccard_pairs
+def _q19_shingle_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup: character-8-shingle n-gram Jaccard via MinHash-LSH buckets
+    with exact verification — the scale path (round 1's quadratic
+    within-lang brute force replaced per VERDICT item 8; ngram_jaccard_pairs
+    remains as the test oracle). Oracle = brute-force shingle Jaccard: at
+    b=32, r=4 a J≥0.9 pair escapes LSH with prob ≤ 1e-15."""
+    from record_matching_spark.functions.dedup import minhash_near_dup_pairs
 
     d = _read(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, group_cols=["lang"], threshold=0.9)
+    return minhash_near_dup_pairs(d, threshold=0.9, shingle_k=8)
 
 
 def _q20_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -273,11 +276,14 @@ def _q21_cc_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q22_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Similarity search: exact brute-force cosine top-k (baseline path)."""
-    from record_matching_spark.functions.similarity import cosine_topk
+    """Similarity search: exact cosine top-k via the DISTRIBUTED tiled
+    block-nested-loop (no driver collect of either side — round 1 collected
+    the whole corpus as the query set; VERDICT item 6). cosine_topk stays
+    the small-explicit-query-set operator."""
+    from record_matching_spark.functions.similarity import cosine_topk_tiled
 
     e = _read(spark, sf, "embeddings")
-    return cosine_topk(e, e, k=3, id_col="vec_id", vec_col="embedding")
+    return cosine_topk_tiled(e, e, k=3, id_col="vec_id", vec_col="embedding")
 
 
 def _q23_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -330,6 +336,40 @@ def _q25_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q26_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Mini-ER over the documents table: MinHash-LSH near-dup pairs →
+    large-star/small-star transitive closure → (doc_id, cluster_id) with
+    singleton completion. DuckDB oracle = brute-force Jaccard pairs + a
+    recursive-CTE reachability closure (VERDICT item 7: the round-1 q26 was
+    rows-only; the full synthetic-corpus pipeline moved to q30)."""
+    from record_matching_spark.functions.dedup import minhash_near_dup_pairs
+    from record_matching_spark.operators.cluster import cluster_assignments
+
+    d = _read(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.9)
+    edges = pairs.select(F.col("left").alias("src"), F.col("right").alias("dst"))
+    return cluster_assignments(edges, d, "doc_id")
+
+
+def _q29_refined_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """B15 cluster refinement on the documents mini-ER: clusters whose mean
+    within-cluster Jaccard < 0.95 are split at edges below 0.95 (weak-bridge
+    mega-cluster splitting; reference claude_poc_v2:1640-1853). Rows-only:
+    pytest tests/test_refine.py carries the correctness gate."""
+    from record_matching_spark.functions.dedup import minhash_near_dup_pairs
+    from record_matching_spark.operators.cluster import cluster_assignments
+    from record_matching_spark.operators.refine import refine_clusters
+
+    d = _read(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.9)
+    edges = pairs.select(F.col("left").alias("src"), F.col("right").alias("dst"))
+    assign = cluster_assignments(edges, d, "doc_id")
+    return refine_clusters(
+        assign, pairs.withColumnRenamed("jaccard", "score"), "doc_id",
+        coherence_tau=0.95, edge_tau=0.95, min_size=3,
+    )
+
+
+def _q30_er_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full ER pipeline (normalize → block → salted pairs → score →
     transitive closure) on the deterministic synthetic repo_files corpus
     (BASELINE.json.input_hint table shape; external SQL oracle impossible
@@ -356,8 +396,11 @@ def _q26_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q27_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing: binary payload → mapInPandas feature extraction
-    (decode kernel stubbed deterministically; Spark plumbing real)."""
+    """Multimodal: binary payload → mapInPandas decode + feature extraction.
+    Image (BMP) and audio (PCM WAV) decode is REAL pure-numpy parsing of
+    real synthesized payloads; video remains a marked stub (no container
+    parser without codec libs). Rows-only: gated by
+    test_bmp_wav_codec_roundtrip + test_media_features_reflect_real_decode."""
     from record_matching_spark.functions.multimodal import extract_media_features, synth_media
 
     media = synth_media(spark, n=96)
@@ -384,7 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_lang_guess": _q16_lang_guess,
         "q17_fingerprint": _q17_fingerprint,
         "q18_tokenset_dup_pairs": _q18_tokenset_dup_pairs,
-        "q19_jaccard_pairs": _q19_jaccard_pairs,
+        "q19_shingle_dedup": _q19_shingle_dedup,
         "q20_minhash_dedup": _q20_minhash_dedup,
         "q21_cc_groups": _q21_cc_groups,
         "q22_embedding_topk": _q22_embedding_topk,
@@ -394,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_er_clusters": _q26_er_clusters,
         "q27_media_features": _q27_media_features,
         "q28_canonical_docs": _q28_canonical_docs,
+        "q29_refined_clusters": _q29_refined_clusters,
+        "q30_er_pipeline": _q30_er_pipeline,
     }
 
 
@@ -536,28 +581,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS "left", b.doc_id AS "right"
             FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id
         """,
-        "q19_jaccard_pairs": f"""
-            WITH t AS (SELECT doc_id, lang,
-                              list_sort(list_distinct({_TOKS})) AS toks
+        "q19_shingle_dedup": """
+            WITH t AS (SELECT doc_id, text,
+                              list_sort(list_distinct(list_transform(
+                                  generate_series(1, greatest(length(text) - 7, 1)),
+                                  i -> substr(text, i, 8)))) AS toks
                        FROM documents)
             SELECT "left", "right", jaccard FROM (
                 SELECT a.doc_id AS "left", b.doc_id AS "right",
                        CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
-                            THEN 1.0
+                            THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
                             ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
                                  / len(list_distinct(list_concat(a.toks, b.toks)))
                        END AS jaccard
-                FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+                FROM t a JOIN t b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.9
         """,
         "q20_minhash_dedup": f"""
-            WITH t AS (SELECT doc_id,
+            WITH t AS (SELECT doc_id, text,
                               list_sort(list_distinct({_TOKS})) AS toks
                        FROM documents)
             SELECT "left", "right", jaccard FROM (
                 SELECT a.doc_id AS "left", b.doc_id AS "right",
                        CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
-                            THEN 1.0
+                            THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
                             ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
                                  / len(list_distinct(list_concat(a.toks, b.toks)))
                        END AS jaccard
@@ -568,6 +615,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id
             FROM documents
+        """,
+        "q26_er_clusters": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, text,
+                         list_sort(list_distinct({_TOKS})) AS toks
+                  FROM documents),
+            p AS (
+                SELECT a.doc_id AS l, b.doc_id AS r FROM t a JOIN t b
+                ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                           THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
+                           ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                                / len(list_distinct(list_concat(a.toks, b.toks)))
+                      END >= 0.9),
+            e AS (SELECT l, r FROM p UNION ALL SELECT r AS l, l AS r FROM p),
+            walk(node, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.node, e.r FROM walk w JOIN e ON e.l = w.reach
+            )
+            SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
         """,
         "q22_embedding_topk": """
             WITH s AS (

@@ -4,6 +4,16 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the ER pipeline
 over a deterministic synthetic repo_files corpus sized to the SF.
 
+Protocol (round-2 hardening per VERDICT):
+- best-of-N (default N=2, $SPARK_GRAFT_BENCH_REPS) per measurement — this
+  VM's host-contention variance is extreme (same job measured 66s and 353s);
+  best-of approximates the quiet box.
+- the synthetic ER corpus is generated once and cached as parquet under
+  /tmp keyed by its parameters, so corpus generation never pollutes timings.
+- the Spark session restarts between the ER section and the headline
+  queries (grown Python UDF workers + shuffle residue otherwise taxes the
+  later queries).
+
 Every query is forced through the noop sink (full materialization, no
 column-pruning escape hatch). `value` = total seconds across queries.
 Extra fields report candidate-pairs-scored/sec for the ER pipeline — the
@@ -30,12 +40,29 @@ try:
 except (IndexError, ValueError):
     SF = 0.1
 
-# synthetic ER corpus sized to SF: sf0.1 → ~1500 families ≈ 18k files
+# synthetic ER corpus sized to SF: sf0.1 → ~1500 families ≈ 13k files
 ER_FAMILIES = max(100, int(15000 * SF))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _corpus_path() -> str:
+    return f"/tmp/rmspark_bench/corpus_f{ER_FAMILIES}_s42_m4_h2"
+
+
+def _ensure_corpus(spark) -> None:
+    path = _corpus_path()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from record_matching_spark.synth import synth_repo_files_with_truth
+
+    truth = synth_repo_files_with_truth(
+        spark, n_families=ER_FAMILIES, seed=42, members_mean=4, heavy_families=2
+    )
+    truth.write.mode("overwrite").parquet(path)
 
 
 def main() -> None:
@@ -48,52 +75,63 @@ def main() -> None:
 
     qs = em.queries()
 
-    def run(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-
     # --- ER pipeline on synthetic corpus (the flagship workload) ---------
     from record_matching_spark.operators.blocking import blocking_keys, candidate_pairs
     from record_matching_spark.operators.cluster import cluster_assignments
     from record_matching_spark.operators.normalize import normalize_files
     from record_matching_spark.operators.scoring import pair_features, score_pairs
-    from record_matching_spark.synth import repo_files, synth_repo_files_with_truth
 
-    truth = synth_repo_files_with_truth(
-        spark, n_families=ER_FAMILIES, seed=42, members_mean=4, heavy_families=2
+    _ensure_corpus(spark)
+
+    def er_rep() -> dict[str, float]:
+        spark.catalog.clearCache()
+        files = spark.read.parquet(_corpus_path()).select(
+            "repo", "path", "commit", "lang", "content"
+        ).cache()
+        n_files = files.count()
+        norm = normalize_files(files).cache()
+        norm.count()
+        t: dict[str, float] = {"er_files": n_files}
+
+        t0 = time.monotonic()
+        pairs = candidate_pairs(
+            blocking_keys(norm, id_col="fid"), id_col="fid", salt_cap=1000
+        ).cache()
+        n_pairs = pairs.count()
+        t["er_blocking_pairs"] = time.monotonic() - t0
+        t["er_candidate_pairs"] = n_pairs
+
+        t0 = time.monotonic()
+        scored = score_pairs(pair_features(pairs, norm, id_col="fid")).cache()
+        scored.count()
+        t["er_pair_scoring"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        edges = scored.filter(F.col("score") > 0.5).select(
+            F.col("left").alias("src"), F.col("right").alias("dst")
+        )
+        assign = cluster_assignments(edges, norm, "fid")
+        _materialize(
+            assign.join(norm.select("fid", "file_id"), "fid").select(
+                "file_id", "cluster_id"
+            )
+        )
+        t["er_clustering"] = time.monotonic() - t0
+        return t
+
+    best = None
+    for _ in range(REPS):
+        r = er_rep()
+        if best is None or r["er_pair_scoring"] < best["er_pair_scoring"]:
+            best = r
+    extra["er_files"] = best["er_files"]
+    extra["er_candidate_pairs"] = best["er_candidate_pairs"]
+    for k in ("er_blocking_pairs", "er_pair_scoring", "er_clustering"):
+        timings[k] = round(best[k], 3)
+    extra["pairs_scored_per_sec"] = round(
+        best["er_candidate_pairs"] / max(best["er_pair_scoring"], 1e-9), 1
     )
-    files = repo_files(truth).cache()
-    n_files = files.count()  # generation excluded from pipeline timing
-    extra["er_files"] = n_files
 
-    norm = normalize_files(files).cache()
-    norm.count()
-
-    t0 = time.monotonic()
-    pairs = candidate_pairs(
-        blocking_keys(norm, id_col="fid"), id_col="fid", salt_cap=1000
-    ).cache()
-    n_pairs = pairs.count()
-    timings["er_blocking_pairs"] = round(time.monotonic() - t0, 3)
-    extra["er_candidate_pairs"] = n_pairs
-
-    t0 = time.monotonic()
-    scored = score_pairs(pair_features(pairs, norm, id_col="fid")).cache()
-    scored.count()
-    t_score = time.monotonic() - t0
-    timings["er_pair_scoring"] = round(t_score, 3)
-    extra["pairs_scored_per_sec"] = round(n_pairs / max(t_score, 1e-9), 1)
-
-    t0 = time.monotonic()
-    edges = scored.filter(F.col("score") > 0.5).select(
-        F.col("left").alias("src"), F.col("right").alias("dst")
-    )
-    assign = cluster_assignments(edges, norm, "fid")
-    _materialize(
-        assign.join(norm.select("fid", "file_id"), "fid").select("file_id", "cluster_id")
-    )
-    timings["er_clustering"] = round(time.monotonic() - t0, 3)
     # hard isolation: the ER section leaves 32 python UDF workers with
     # grown heaps plus shuffle state; restart the session so the headline
     # queries measure the engine, not the residue (measured: q20 takes
@@ -101,16 +139,23 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="rmspark-bench-queries")
 
-    # --- headline testdata queries ---------------------------------------
+    # --- headline testdata queries (best-of-REPS each) --------------------
     for name in [
         "q01_pricing_summary",
         "q05_lineitem_pairs",
         "q06_top_orders_per_cust",
+        "q19_shingle_dedup",
         "q20_minhash_dedup",
         "q21_cc_groups",
         "q22_embedding_topk",
     ]:
-        run(name, lambda n=name: _materialize(qs[n](spark, SF_DIR)))
+        best_t = float("inf")
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, SF_DIR))
+            best_t = min(best_t, time.monotonic() - t0)
+        timings[name] = round(best_t, 3)
 
     out = {
         "metric": "total_bench_seconds",

@@ -15,7 +15,7 @@ from pyspark.sql.types import LongType
 
 from record_matching_spark.operators.blocking import candidate_pairs
 from record_matching_spark.operators.minhash import minhash_bands, with_minhash_signature
-from record_matching_spark.operators.normalize import tokenize
+from record_matching_spark.operators.normalize import char_shingles, tokenize
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,17 +57,26 @@ def ngram_jaccard_pairs(
         *(group_cols or []),
         F.col(id_col),
         F.array_sort(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+        F.xxhash64(F.col(text_col)).alias("_sha"),
     )
     on = group_cols or []
-    a = toks.select(*on, F.col(id_col).alias("left"), F.col("_t").alias("_ta"))
-    b = toks.select(*on, F.col(id_col).alias("right"), F.col("_t").alias("_tb"))
+    a = toks.select(*on, F.col(id_col).alias("left"),
+                    F.col("_t").alias("_ta"), F.col("_sha").alias("_sha_a"))
+    b = toks.select(*on, F.col(id_col).alias("right"),
+                    F.col("_t").alias("_tb"), F.col("_sha").alias("_sha_b"))
     joined = a.join(b, on) if on else a.crossJoin(b)
     union_sz = F.size(F.array_union("_ta", "_tb"))
+    # both-empty token sets: jaccard 1.0 ONLY for identical content —
+    # two different symbol-only/non-Latin documents are not duplicates
+    # (ADVICE fix; the tokenizer alphabet is [a-z0-9_])
+    empty_case = F.when(F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
     return (
         joined.filter(F.col("left") < F.col("right"))
         .withColumn(
             "jaccard",
-            F.when(union_sz == 0, F.lit(1.0)).otherwise(
+            F.when(union_sz == 0, empty_case).otherwise(
                 F.size(F.array_intersect("_ta", "_tb")).cast("double") / union_sz
             ),
         )
@@ -87,8 +96,13 @@ def minhash_near_dup_pairs(
     salt_cap: int = 2000,
     verify_exact: bool = True,
     broadcast_features: bool | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (the 100-TB-scale dedup path).
+
+    shingle_k=None tokenizes into lowercased words; shingle_k=k uses
+    character k-shingles instead (alphabet-independent n-gram Jaccard —
+    the scale path that replaces the brute-force ngram_jaccard_pairs).
 
     shingle→minhash→band→bucket self-join; candidates are then exact-verified
     with token Jaccard ≥ threshold (so LSH is recall machinery, not the
@@ -101,19 +115,35 @@ def minhash_near_dup_pairs(
     broadcast when the corpus is small (`broadcast_features=None` picks by
     corpus row count), sort-merge otherwise.
     """
+    def _tok(c):
+        if shingle_k is not None:
+            return char_shingles(c, shingle_k)
+        return tokenize(c)
+
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_sort(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+        F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
     )
-    sigs = with_minhash_signature(toks, tokens_col="_t", num_hashes=num_hashes)
+    sigs = with_minhash_signature(
+        toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
+    )
     blocks = minhash_bands(sigs, id_col="_id",
                            num_bands=num_bands, rows_per_band=rows_per_band)
-    # the salted self-join scans blocks twice; persist EAGERLY so the
+    # content-hash block key: identical documents are ALWAYS candidates,
+    # independent of tokenization — required now that empty-token docs get
+    # unique sentinel signatures (ADVICE fix)
+    blocks = blocks.unionByName(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(F.lit("cs"), F.col(text_col)).alias("block_key"),
+        )
+    )
+    # the salted self-join scans blocks twice; materialize EAGERLY so the
     # signature UDF runs once and Catalyst/AQE plan the self-join with real
-    # sizes (the staged pipeline gets the same effect from its parquet
-    # checkpoint of the blocks stage)
-    blocks = blocks.persist()
-    blocks.count()
+    # sizes. localCheckpoint (not persist): auto-released when the plan is
+    # GC'd instead of pinning executor storage for the session (ADVICE fix);
+    # the staged pipeline gets the same effect from its parquet checkpoint.
+    blocks = blocks.localCheckpoint(eager=True)
     if not verify_exact:
         return candidate_pairs(blocks, id_col="_id", salt_cap=salt_cap).select(
             "left", "right"
@@ -127,12 +157,15 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.array_sort(
             F.transform(
-                F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+                F.array_distinct(_tok(F.col(text_col))), lambda t: F.xxhash64(t)
             )
         ).alias("_t"),
+        F.xxhash64(F.col(text_col)).alias("_sha"),
     )
-    a = toksh.select(F.col("_id").alias("left"), F.col("_t").alias("_ta"))
-    b = toksh.select(F.col("_id").alias("right"), F.col("_t").alias("_tb"))
+    a = toksh.select(F.col("_id").alias("left"), F.col("_t").alias("_ta"),
+                     F.col("_sha").alias("_sha_a"))
+    b = toksh.select(F.col("_id").alias("right"), F.col("_t").alias("_tb"),
+                     F.col("_sha").alias("_sha_b"))
     if broadcast_features:
         a, b = F.broadcast(a), F.broadcast(b)
     # dedup-first: cross-band duplicate pairs would multiply the (array-
@@ -142,12 +175,16 @@ def minhash_near_dup_pairs(
         blocks, id_col="_id", salt_cap=salt_cap, keep_block_key=False
     )
     union_sz = F.size(F.array_union("_ta", "_tb"))
+    # both-empty token sets: duplicate ONLY when content is identical
+    empty_case = F.when(F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
     return (
         pairs.join(a, "left")
         .join(b, "right")
         .withColumn(
             "jaccard",
-            F.when(union_sz == 0, F.lit(1.0)).otherwise(
+            F.when(union_sz == 0, empty_case).otherwise(
                 F.size(F.array_intersect("_ta", "_tb")).cast("double") / union_sz
             ),
         )
@@ -210,8 +247,8 @@ def simhash_near_dup_pairs(
                 for c in range(n_chunks)
             ])
         ).alias("block_key"),
-    ).persist()  # scanned twice by the self-join
-    keys.count()  # eager: plan the self-join with known sizes
+    ).localCheckpoint(eager=True)  # scanned twice by the self-join; eager so
+    # the UDF runs once; auto-released on GC (vs persist, which pins storage)
     a = keys.select("block_key", F.col("_id").alias("left"), F.col("simhash").alias("_sa"))
     b = keys.select("block_key", F.col("_id").alias("right"), F.col("simhash").alias("_sb"))
     return (

@@ -1,16 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded and featurized inside Arrow-batched mapInPandas.
 
-The decode/feature-extraction libraries (PIL, ffmpeg, torchaudio …) are NOT
-in this container, so the decode kernels are stubbed deterministically — but
-the Spark-side plumbing is real and tested: schema (binary payload + typed
-metadata struct), Arrow batch shape through mapInPandas, and partition-count
-preservation. Swap `_decode_stub` for a real decoder on a cluster that has
-the codec libraries installed.
+Round 2: image (BMP, 24-bit uncompressed) and audio (WAV, 16-bit PCM)
+decode is REAL — pure-numpy header parsing + pixel/sample extraction, no
+codec libraries needed (none exist in this container). Compressed codecs
+(PNG/JPEG/H.264…) would slot into the same kernels on a cluster with the
+libraries installed; `video` decode stays a clearly-marked deterministic
+stub (no container parser in pure numpy), guarded by NotImplementedError
+for unknown kinds. The synthetic generator emits REAL BMP/WAV bytes so the
+decode path is tested end-to-end, not plumbing-only.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,30 +32,151 @@ FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feature array<floa
 _FEATURE_DIM = 16
 
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake decode: digest-seeded feature vector. A real
-    deployment replaces this with PIL/ffmpeg decode + model features.
-    Raises for unknown kinds (mirrors a codec error)."""
-    if kind not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no decoder for kind={kind!r}")
+# ----------------------------------------------------------- codecs (numpy)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder. pixels: (h, w, 3) uint8 RGB."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Minimal 24-bit uncompressed BMP decoder → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
+    row_size = (w * 3 + 3) & ~3
+    buf = np.frombuffer(payload, dtype=np.uint8, count=row_size * abs(h),
+                        offset=data_off)
+    rows = buf.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if h > 0 else rgb  # bottom-up unless negative height
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder."""
+    pcm = samples.astype(np.int16).tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal PCM WAV decoder → (int16 samples, sample_rate). Walks RIFF
+    chunks, so extra chunks before 'data' are handled."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            fmt, _ch, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            if fmt != 1:
+                raise NotImplementedError(f"only PCM WAV supported, got fmt={fmt}")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype=np.int16,
+                                    count=size // 2, offset=pos + 8)
+            return samples, int(sample_rate or 0)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV data chunk not found")
+
+
+# ------------------------------------------------------------ feature kernels
+
+
+def _image_features(payload: bytes) -> np.ndarray:
+    """BMP → [w, h, per-channel mean/std (÷255), 4-bin luminance histogram,
+    edge energy, 0-pad] — deterministic, _FEATURE_DIM floats."""
+    px = decode_bmp(payload).astype(np.float64)
+    h, w, _ = px.shape
+    lum = px.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=4, range=(0, 255))
+    edges = np.abs(np.diff(lum, axis=1)).mean() if w > 1 else 0.0
+    f = np.array(
+        [w, h,
+         *(px.reshape(-1, 3).mean(axis=0) / 255.0),
+         *(px.reshape(-1, 3).std(axis=0) / 255.0),
+         *(hist / max(lum.size, 1)),
+         edges / 255.0],
+        dtype=np.float32,
+    )
+    return np.pad(f, (0, _FEATURE_DIM - len(f)))[:_FEATURE_DIM]
+
+
+def _audio_features(payload: bytes) -> np.ndarray:
+    """WAV → [sample_rate/1e3, n_samples, rms, zero-crossing rate, 4 FFT
+    band energies, peak, 0-pad] — deterministic, _FEATURE_DIM floats."""
+    samples, sr = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    if n >= 8:
+        mag = np.abs(np.fft.rfft(x[: min(n, 4096)]))
+        bands = [float(b.mean()) for b in np.array_split(mag, 4)]
+    else:
+        bands = [0.0] * 4
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    f = np.array([sr / 1e3, n, rms, zcr, *bands, peak], dtype=np.float32)
+    return np.pad(f, (0, _FEATURE_DIM - len(f)))[:_FEATURE_DIM]
+
+
+def _video_features_stub(payload: bytes) -> np.ndarray:
+    """STUB: no container/codec parser exists in pure numpy — deterministic
+    digest-seeded vector marks the slot a real ffmpeg frame-sampler would
+    fill (frame-sample → per-frame _image_features → temporal pooling)."""
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.RandomState(seed)
     return rng.rand(_FEATURE_DIM).astype(np.float32)
 
 
+def _decode_features(payload: bytes, kind: str) -> np.ndarray:
+    if kind == "image":
+        return _image_features(payload)
+    if kind == "audio":
+        return _audio_features(payload)
+    if kind == "video":
+        return _video_features_stub(payload)
+    raise NotImplementedError(f"no decoder for kind={kind!r}")
+
+
 def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """binary payload → fixed-dim feature vector via mapInPandas.
 
-    Arrow moves the binary column in batches to the Python worker; the
-    decode runs per batch (vectorizable when a real decoder exists).
+    Arrow moves the binary column in batches to the Python worker; decode
+    runs per batch. At 100-TB scale this is the shape that matters: the
+    payload bytes stay partition-local, only fixed-width features shuffle.
     Output schema: FEATURE_SCHEMA.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(bytes(p) if p is not None else b"", k)
+                _decode_features(bytes(p) if p is not None else b"", k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -66,21 +191,64 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Image resize as a distributed op: decode BMP, nearest-neighbor
+    downsample to (out_h, out_w), emit flattened luminance grid — the
+    thumbnail/embedding-input shape of a training-data pipeline.
+    Output: (media_id, thumb array<float>)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs = [], []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image" or p is None:
+                    continue
+                px = decode_bmp(bytes(p)).astype(np.float64)
+                h, w, _ = px.shape
+                yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                lum = px.mean(axis=2)[np.ix_(yi, xi)] / 255.0
+                ids.append(mid)
+                thumbs.append(lum.astype(np.float32).ravel())
+            # explicit object dtype: an empty partition would otherwise infer
+            # float64 for the list column and break the Arrow conversion
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype=object),
+                    "thumb": pd.Series(thumbs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id string, thumb array<float>")
+
+
 def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA (payloads are
-    seeded pseudo-random bytes — opaque, as real codecs' output would be)."""
+    """Deterministic media table matching MEDIA_SCHEMA with REAL payloads:
+    image rows are valid 24-bit BMPs, audio rows are valid 16-bit PCM WAVs
+    (video payloads are opaque seeded bytes — the decode there is stubbed)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        digest = hashlib.sha256(f"media:{seed}:{i}".encode()).digest()
-        payload = digest * (4 + i % 7)
+        rng = np.random.RandomState(seed * 100003 + i)
         kind = kinds[i % 3]
-        meta = {
-            "width": 640 if kind != "audio" else None,
-            "height": 480 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 1 if kind == "image" else 120,
-            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
-        }
+        if kind == "image":
+            w, h = 8 + i % 9, 6 + i % 5
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(px)
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": 1, "codec": "bmp24"}
+        elif kind == "audio":
+            sr = 8000
+            t = np.arange(sr // 4) / sr
+            freq = 200 + (i % 10) * 50
+            samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payload = encode_wav(samples, sr)
+            meta = {"width": None, "height": None, "sample_rate": sr,
+                    "n_frames": len(samples), "codec": "pcm16"}
+        else:
+            digest = hashlib.sha256(f"media:{seed}:{i}".encode()).digest()
+            payload = digest * (4 + i % 7)
+            meta = {"width": 640, "height": 480, "sample_rate": None,
+                    "n_frames": 120, "codec": "h264"}
         rows.append((f"m{i:05d}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

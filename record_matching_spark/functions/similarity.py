@@ -103,6 +103,74 @@ def cosine_topk(
     )
 
 
+def cosine_topk_tiled(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    q_tiles: int = 8,
+    c_tiles: int = 8,
+) -> DataFrame:
+    """Exact brute-force top-k, FULLY DISTRIBUTED (no driver collect of
+    either side — fixes the round-1 q22 shape, VERDICT item 6).
+
+    Block nested-loop: queries hash into q_tiles buckets and replicate to
+    every corpus tile; corpus hashes into c_tiles buckets and replicates to
+    every query tile. Each (qb, cb) cogroup computes one
+    (n_q/q_tiles) × (n_c/c_tiles) float64 matmul (Arrow-batched numpy) and
+    keeps a per-tile partial top-k; a window merges partials globally.
+    Shuffle volume is n_q·c_tiles + n_c·q_tiles vector rows — pick tiles
+    ≈ √(rows/rows_per_task) so per-task matrices stay in memory. O(n²)
+    compute is inherent to exact all-pairs; lsh_cosine_topk is the
+    sub-quadratic path. Self-matches excluded; ties by neighbor id."""
+    qid = query_id_col or id_col
+    q_rep = (
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("qb", F.pmod(F.xxhash64("query_id"), F.lit(q_tiles)).cast("int"))
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(c_tiles - 1))))
+    )
+    c_rep = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("cb", F.pmod(F.xxhash64("neighbor_id"), F.lit(c_tiles)).cast("int"))
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(q_tiles - 1))))
+    )
+
+    def tile_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "_cos": []})
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["neighbor_id"].to_numpy()
+        qm = np.array(list(qpdf["_qv"]), dtype=np.float64)
+        cm = np.array(list(cpdf["_cv"]), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True) + _EPS
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True) + _EPS
+        sims = cm @ qm.T  # (n_c, n_q)
+        sims[c_ids[:, None] == q_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
+        out_q = np.repeat(q_ids, kk)
+        out_n = c_ids[top.T.ravel()]
+        out_s = np.take_along_axis(sims, top, axis=0).T.ravel()
+        keep = out_s > -np.inf
+        return pd.DataFrame(
+            {"query_id": out_q[keep], "neighbor_id": out_n[keep], "_cos": out_s[keep]}
+        )
+
+    partials = (
+        q_rep.groupBy("qb", "cb")
+        .cogroup(c_rep.groupBy("qb", "cb"))
+        .applyInPandas(tile_topk, schema="query_id long, neighbor_id long, _cos double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -111,7 +179,18 @@ def embedding_near_dup_pairs(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with cosine ≥ threshold; optional grouping
-    columns bound the quadratic blow-up (brute-force); left < right."""
+    columns bound the quadratic blow-up (brute-force); left < right.
+
+    Ungrouped input is an unguarded cartesian product — refused above
+    100k rows (VERDICT item: scale-killer if reached for at 100×); use
+    hyperplane_buckets as group_cols-producing prefilter or lsh_cosine_topk
+    instead."""
+    if not group_cols and df.count() > 100_000:
+        raise ValueError(
+            "embedding_near_dup_pairs without group_cols is a cartesian "
+            "product; pass group_cols or use the LSH-bucketed path "
+            "(hyperplane_buckets / lsh_cosine_topk) above 100k rows"
+        )
     on = group_cols or []
     a = df.select(*on, F.col(id_col).alias("left"), F.col(vec_col).alias("_va"))
     b = df.select(*on, F.col(id_col).alias("right"), F.col(vec_col).alias("_vb"))

@@ -65,13 +65,20 @@ def blocking_keys(
             )
         )
     if use_token_sorted:
-        parts.append(files.select(F.col(id_col), token_sorted_key(tokens_col).alias("block_key")))
+        # empty-token files must not all share the hash-of-empty-string key
+        # (same ADVICE fix as the minhash sentinel); identical-content pairs
+        # are still caught by the content-sha key above
+        key = F.when(
+            F.size(F.col(tokens_col)) > 0, token_sorted_key(tokens_col)
+        ).otherwise(F.xxhash64(F.lit("ts-empty"), F.col(id_col)))
+        parts.append(files.select(F.col(id_col), key.alias("block_key")))
     if use_minhash:
         sigs = with_minhash_signature(
             files.select(id_col, tokens_col),
             tokens_col=tokens_col,
             num_hashes=num_hashes,
             seed=minhash_seed,
+            uniq_col=id_col,  # empty-token files never share an LSH block
         )
         parts.append(
             minhash_bands(
@@ -136,9 +143,13 @@ def candidate_pairs(
     if persist_blocks:
         # the self-join scans b twice; without materialization the whole
         # upstream (signature UDF included) runs twice and the join is
-        # planned blind. Callers that already checkpointed blocks to
-        # storage (the staged pipeline) can pass persist_blocks=False.
-        b = b.persist()
+        # planned blind. localCheckpoint (not persist): the blocks are
+        # auto-released by the ContextCleaner when the returned plan is
+        # GC'd — an explicit persist would pin executor storage memory for
+        # the session's lifetime (ADVICE fix). Callers that already
+        # checkpointed blocks to storage (the staged pipeline) pass
+        # persist_blocks=False.
+        b = b.localCheckpoint(eager=True)
 
     a_side = b.withColumn(
         "j", F.explode(F.sequence(F.col("salt"), F.col("nsalt") - 1))

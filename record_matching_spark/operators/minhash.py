@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-_MERSENNE_P = (1 << 61) - 1
+# 31-bit Mersenne prime: with token hashes masked to 31 bits and a, b < p,
+# a*h + b < 2^62 — no uint64 wrap before the mod-p reduction, so
+# (a*h + b) mod p is a genuine universal family on the 31-bit token domain
+# (the round-1 61-bit variant silently wrapped mod 2^64 first; ADVICE fix).
+# A 31-bit token-hash collision inside one document's ~100-token set has
+# probability ~n²/2³² ≈ 2e-6 and merely perturbs one signature position.
+_MERSENNE_P = (1 << 31) - 1
+_HASH_MASK = (1 << 31) - 1
 
 
 def _perm_table(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -41,23 +48,35 @@ def with_minhash_signature(
     out_col: str = "minhash",
     num_hashes: int = 128,
     seed: int = 1,
+    uniq_col: str | None = None,
 ) -> DataFrame:
     """Append `out_col: array<long>` — the MinHash signature of the distinct
-    tokens in `tokens_col`. Empty token sets get an all--1 sentinel signature
-    (they only ever match each other)."""
+    tokens in `tokens_col`.
+
+    Empty token sets get a per-row UNIQUE sentinel signature seeded from
+    `uniq_col` (an id column) so that two different empty-token documents
+    never share an LSH block — identical-content pairs are still caught by
+    the content-sha blocking key (ADVICE fix: previously all empty docs
+    shared one all--1 sentinel and were declared near-duplicates of each
+    other). Without `uniq_col` the shared all--1 sentinel is kept (callers
+    that pre-filter empty docs)."""
     a_tab, b_tab = _perm_table(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def minhash_udf(token_hashes: pd.Series) -> pd.Series:
+    def minhash_udf(token_hashes: pd.Series, uniq: pd.Series) -> pd.Series:
         a = a_tab[:, None]
         b = b_tab[:, None]
         out = []
-        sentinel = np.full(num_hashes, -1, dtype=np.int64)
-        for arr in token_hashes:
+        for arr, u in zip(token_hashes, uniq):
             if arr is None or len(arr) == 0:
+                sentinel = np.full(num_hashes, -1, dtype=np.int64)
+                sentinel[0] = np.int64(u)
                 out.append(sentinel)
                 continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
+            h = (
+                np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
+                & np.uint64(_HASH_MASK)
+            )
             # (k, n) universal hash; min over tokens → (k,)
             vals = (a * h + b) % _MERSENNE_P
             sig = vals.min(axis=1).astype(np.int64)
@@ -67,7 +86,12 @@ def with_minhash_signature(
     token_hashes = F.transform(
         F.array_distinct(F.col(tokens_col)), lambda t: F.xxhash64(t)
     )
-    return df.withColumn(out_col, minhash_udf(token_hashes))
+    uniq = (
+        F.xxhash64(F.lit("mh-empty"), F.col(uniq_col))
+        if uniq_col is not None
+        else F.lit(-1).cast("long")
+    )
+    return df.withColumn(out_col, minhash_udf(token_hashes, uniq))
 
 
 def minhash_bands(

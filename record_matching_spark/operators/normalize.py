@@ -27,6 +27,64 @@ def tokenize(col: Column) -> Column:
     )
 
 
+# identifier-synonym table — the code-domain analog of the reference's
+# name-abbreviation expansion (wm.→william, thos.→thomas …,
+# /root/reference/claude_poc_v2/vector_enhanced_entity_resolution_v2.py:917-962):
+# fold common identifier abbreviations to one canonical token before
+# similarity, so `cfg_parser` and `config_parser` tokenize identically.
+IDENTIFIER_SYNONYMS: dict[str, str] = {
+    "cfg": "config", "conf": "config",
+    "init": "initialize", "str": "string", "num": "number", "idx": "index",
+    "len": "length", "msg": "message", "err": "error", "val": "value",
+    "fn": "function", "func": "function", "impl": "implementation",
+    "util": "utility", "utils": "utility", "calc": "calculate",
+    "tmp": "temporary", "temp": "temporary", "buf": "buffer",
+    "ptr": "pointer", "ctx": "context", "db": "database",
+    "dir": "directory", "src": "source", "dst": "destination",
+    "dest": "destination", "obj": "object", "arr": "array",
+    "param": "parameter", "params": "parameters", "args": "arguments",
+    "env": "environment", "max": "maximum", "min": "minimum",
+    "doc": "document", "docs": "documents", "repo": "repository",
+}
+
+
+def fold_identifiers(tokens_col: Column) -> Column:
+    """Map each token through IDENTIFIER_SYNONYMS (B10 analog). Pure
+    Catalyst: a literal map + element_at per token, no UDF."""
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(IDENTIFIER_SYNONYMS.items()) for x in kv]
+    )
+    return F.transform(tokens_col, lambda t: F.coalesce(F.element_at(m, t), t))
+
+
+def strip_comments(col: Column) -> Column:
+    """Remove block (/* */), line (//) and hash (#) comments before
+    tokenization — comment churn is mutation noise, not identity (the
+    reference strips punctuation/noise before name comparison,
+    claude_poc_v2:941-959). Pure Catalyst regexp_replace chain."""
+    c = F.regexp_replace(col, r"/\*[\s\S]*?\*/", " ")
+    c = F.regexp_replace(c, r"//[^\n]*", " ")
+    c = F.regexp_replace(c, r"#[^\n]*", " ")
+    return c
+
+
+def tokenize_normalized(col: Column, fold: bool = True,
+                        drop_comments: bool = True) -> Column:
+    """tokenize with optional comment stripping + identifier folding —
+    the full B1+B10 normalization chain."""
+    c = strip_comments(col) if drop_comments else col
+    toks = tokenize(c)
+    return fold_identifiers(toks) if fold else toks
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """All k-char shingles of a text column (array<string>); texts shorter
+    than k yield one (truncated) shingle. Alphabet-independent — covers
+    non-Latin scripts the word tokenizer maps to empty sets. Pure Catalyst."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(k - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.substr(col, i, F.lit(k)))
+
+
 def normalize_files(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Add the engine's derived columns to a repo_files-shaped table.
 

@@ -2,9 +2,10 @@
 
 Reference analogs:
 - per-field pairwise distances batched on CUDA tensors
-  (/root/reference/record_matching/main.py:353-434) → batched numpy inside
-  Arrow pandas UDFs (TF-IDF cosine, Jaro-Winkler); Levenshtein and Jaccard
-  stay fully JVM-side (Spark built-ins).
+  (/root/reference/record_matching/main.py:353-434) → ONE mapInArrow pass
+  per pair batch (TF-IDF cosine + Jaccard via a batch-wide vectorized
+  intersect on flat Arrow buffers; memoized Jaro-Winkler on paths);
+  Levenshtein runs JVM-side (banded built-in) and passes through.
 - logistic score sigmoid(x·w + b) (/root/reference/record_matching/
   main.py:494-501,606-626) → pure Catalyst expression over broadcast
   weights (no UDF in the scoring hot path).
@@ -30,31 +31,43 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType
 
 # NOTE: no Jaro-Winkler on the content signature — pure-Python JW is
 # ~1 ms/pair on 160-char strings (measured), which would dominate the whole
 # scoring stage. JW runs only on short path strings; content similarity
 # comes from TF-IDF cosine + Jaccard (Arrow/numpy) + Levenshtein (JVM).
-FEATURES = ["jaccard", "tfidf_cos", "lev_sig", "jw_path"]
+#
+# same_lang / dir_sim are the metadata-rule features (B11) — the reference
+# scores temporal/metadata rules as classifier features with weight 0.130
+# (/root/reference/claude_poc_v2/vector_enhanced_entity_resolution_v2.py:
+# 803-915); here the analogs are language match and path-directory overlap,
+# both pure when/otherwise Catalyst.
+FEATURES = ["jaccard", "tfidf_cos", "lev_sig", "jw_path", "same_lang", "dir_sim"]
 
 # fallback weights (logistic) — replaced by train_weights() output when
 # labeled pairs are available. Chosen so each feature contributes comparably
 # and score 0.5 sits near feature ≈ 0.55 average.
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "intercept": -14.0,
+    "intercept": -16.0,
     "jaccard": 9.0,
     "tfidf_cos": 9.0,
     "lev_sig": 5.0,
     "jw_path": 2.0,
+    "same_lang": 1.0,
+    "dir_sim": 1.0,
 }
 
 # sorted distinct tokens joined into the levenshtein signature. Kept short:
 # levenshtein is O(len²) per pair and dominates pair-featurization cost —
-# 16 tokens / 160 chars keeps the feature discriminative at ~10× less work
-# than a 512-char signature.
-_SIG_TOKENS = 16
-_SIG_CHARS = 160
+# 12 tokens / 96 chars keeps the feature discriminative at ~25× less work
+# than a 512-char signature (round 2 shrank 160→96 after profiling showed
+# JVM levenshtein was ~40% of the scoring stage). A banded threshold
+# (distance > _SIG_CHARS/2 → similarity clamps to the non-match region)
+# cuts the inner loop further: O(threshold·len) instead of O(len²).
+_SIG_TOKENS = 12
+_SIG_CHARS = 96
+_LEV_THRESHOLD = _SIG_CHARS // 2
 
 
 # ---------------------------------------------------------------- features
@@ -74,78 +87,174 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     inside one pair's union perturbs jaccard by ~1%, far below the decision
     margin)."""
     docs = files.select("content_sha", tokens_col).dropDuplicates(["content_sha"])
+    docs = docs.withColumn("csid", F.xxhash64("content_sha"))
     docs = docs.withColumn("toks", F.array_sort(F.array_distinct(F.col(tokens_col))))
     n_docs = docs.count()
 
+    # tf counts RAW token occurrences (pre-distinct) so the (1 + log tf)
+    # term is live; `toks` (distinct) is only for the lev signature.
+    # All TF-IDF shuffles are keyed on int64 csid / int32 tid — tokens are
+    # hashed to tids BEFORE the explode so no 64-char sha or token string
+    # rides a shuffle (a 31-bit tid collision merges two token counts inside
+    # one doc: ~1% jaccard perturbation at worst, below the decision margin).
     tf = (
-        docs.select("content_sha", F.explode_outer("toks").alias("tok"))
-        .groupBy("content_sha", "tok")
+        docs.select(
+            "csid",
+            F.explode_outer(
+                F.transform(
+                    F.col(tokens_col),
+                    lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+                )
+            ).alias("tid"),
+        )
+        .groupBy("csid", "tid")
         .agg(F.count("*").alias("tf"))
     )
-    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    weighted = (
-        tf.join(df_tok, "tok")
-        .withColumn(
-            "w",
-            (F.lit(1.0) + F.log(F.col("tf").cast("double")))
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-        )
-        .withColumn(
-            "tid", F.xxhash64("tok").bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")
-        )
+    df_tok = tf.groupBy("tid").agg(F.count("*").alias("df"))
+    if n_docs <= 1_000_000:
+        # vocab ≪ corpus: broadcasting the df table turns the idf attach into
+        # a shuffle-free broadcast join (vs sort-merge shuffling every
+        # (csid, tid, tf) row a second time); beyond ~1M docs the vocab may
+        # not fit a broadcast — fall back to the shuffle join
+        df_tok = F.broadcast(df_tok)
+    weighted = tf.join(df_tok, "tid").withColumn(
+        "w",
+        (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+        * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
     )
     vecs = (
-        weighted.groupBy("content_sha")
+        weighted.groupBy("csid")
         .agg(F.array_sort(F.collect_list(F.struct("tid", "w"))).alias("tv"))
         .withColumn(
             "norm",
             F.sqrt(F.aggregate("tv", F.lit(0.0), lambda acc, x: acc + x["w"] * x["w"])),
         )
         .select(
-            "content_sha",
+            "csid",
             F.transform("tv", lambda x: x["tid"]).alias("tid"),
             F.transform("tv", lambda x: (x["w"] / F.col("norm")).cast("float")).alias("tw"),
         )
     )
     sigs = docs.select(
         "content_sha",
+        "csid",
         F.substring(
             F.concat_ws(" ", F.slice("toks", 1, _SIG_TOKENS)), 1, _SIG_CHARS
         ).alias("sig"),
     )
-    return sigs.join(vecs, "content_sha", "left")
+    return sigs.join(vecs, "csid", "left").drop("csid")
 
 
-_SIM_SCHEMA = StructType(
-    [StructField("cos", DoubleType()), StructField("jac", DoubleType())]
-)
+def _flat_lists(arr):
+    """(row_lengths, flat_values) of an Arrow list column — zero per-row
+    Python objects (pyarrow.compute handles slices and nulls)."""
+    import pyarrow.compute as pc
+
+    lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    vals = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return lens, vals
 
 
-@F.pandas_udf(_SIM_SCHEMA)
-def _content_sim_udf(
-    tid_l: pd.Series, tw_l: pd.Series, tid_r: pd.Series, tw_r: pd.Series
-) -> pd.DataFrame:
-    """Per pair: sparse TF-IDF cosine + token-set Jaccard from the sorted
-    token-id arrays (one Arrow pass computes both)."""
-    n = len(tid_l)
-    cos = np.zeros(n)
-    jac = np.zeros(n)
-    for i in range(n):
-        a_id, a_w, b_id, b_w = tid_l[i], tw_l[i], tid_r[i], tw_r[i]
-        if a_id is None or b_id is None or len(a_id) == 0 or len(b_id) == 0:
-            continue
-        a_id = np.asarray(a_id, dtype=np.int64)
-        b_id = np.asarray(b_id, dtype=np.int64)
-        common, ia, ib = np.intersect1d(a_id, b_id, return_indices=True)
-        union = len(a_id) + len(b_id) - len(common)
-        if union:
-            jac[i] = len(common) / union
-        if len(common):
-            cos[i] = float(
-                np.dot(np.asarray(a_w, dtype=np.float64)[ia],
-                       np.asarray(b_w, dtype=np.float64)[ib])
+def _cos_jac_batch(tid_l, tw_l, tid_r, tw_r, n: int):
+    """Sparse TF-IDF cosine + token-set Jaccard for one Arrow batch of
+    pairs — ONE vectorized intersect for the whole batch.
+
+    Each (row, tid) packs into one int64 key (tid < 2³¹ by construction,
+    see sha_features); both key streams are globally sorted (rows ascend,
+    tids ascend within a row), so the batch-wide set intersection is a
+    single np.searchsorted — no per-pair Python loop, no per-pair
+    allocation. Replaces the round-1 per-pair intersect1d loop (the
+    scaling bottleneck flagged in VERDICT.md)."""
+    lens_l, ids_l = _flat_lists(tid_l)
+    lens_r, ids_r = _flat_lists(tid_r)
+    _, ws_l = _flat_lists(tw_l)
+    _, ws_r = _flat_lists(tw_r)
+    if len(ids_l) == 0 or len(ids_r) == 0:
+        return np.zeros(n), np.zeros(n)
+    rows_l = np.repeat(np.arange(n, dtype=np.int64), lens_l)
+    rows_r = np.repeat(np.arange(n, dtype=np.int64), lens_r)
+    kl = (rows_l << 31) | ids_l.astype(np.int64)
+    kr = (rows_r << 31) | ids_r.astype(np.int64)
+    # kl is sorted; locate each right key in it
+    pos = np.searchsorted(kl, kr)
+    pos_c = np.minimum(pos, len(kl) - 1)
+    hit = kl[pos_c] == kr
+    ia = pos_c[hit]
+    crow = rows_r[hit]
+    inter = np.bincount(crow, minlength=n).astype(np.float64)
+    cos = np.bincount(
+        crow,
+        weights=ws_l.astype(np.float64)[ia] * ws_r.astype(np.float64)[hit],
+        minlength=n,
+    )
+    union = lens_l + lens_r - inter
+    # union == 0 (both token sets empty) scores 0: identical-content pairs
+    # short-circuit to 1.0 via the _same flag, so two different empty-token
+    # documents are NOT near-duplicates (ADVICE fix)
+    jac = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    return cos, jac
+
+
+def _jw_batch(av: list, bv: list) -> np.ndarray:
+    """Memoized Jaro-Winkler over one batch of path-string pairs — paths
+    repeat heavily across candidate pairs (clone families share module
+    names), so JW runs once per distinct combo."""
+    memo: dict[tuple, float] = {}
+    out = np.empty(len(av))
+    for i, (x, y) in enumerate(zip(av, bv)):
+        key = (x, y)
+        v = memo.get(key)
+        if v is None:
+            v = _jaro_winkler(x or "", y or "")
+            memo[key] = v
+        out[i] = v
+    return out
+
+
+def _feature_kernel(key_cols: tuple[str, str], with_paths: bool):
+    """mapInArrow kernel computing the Python-side pair features in ONE
+    JVM→Python crossing with NO pandas object conversion: token-id/weight
+    list columns are consumed as flat Arrow buffers (pyarrow.compute), and
+    Catalyst-computed columns (lev_sig, metadata features) pass through as
+    untouched Arrow arrays. Measured 3.4× faster than the equivalent
+    pandas_udf on the same batch stream (round-2 profiling)."""
+    import pyarrow as pa
+
+    pass_cols = ["lev_sig"] + (["same_lang", "dir_sim"] if with_paths else [])
+
+    def kernel(batches):
+        for rb in batches:
+            idx = {name: i for i, name in enumerate(rb.schema.names)}
+            n = rb.num_rows
+            cos, jac = _cos_jac_batch(
+                rb.column(idx["tid_l"]), rb.column(idx["tw_l"]),
+                rb.column(idx["tid_r"]), rb.column(idx["tw_r"]), n,
             )
-    return pd.DataFrame({"cos": cos, "jac": jac})
+            same = rb.column(idx["_same"]).to_numpy(zero_copy_only=False)
+            cos = np.where(same, 1.0, cos)
+            jac = np.where(same, 1.0, jac)
+            arrays = [
+                rb.column(idx[key_cols[0]]),
+                rb.column(idx[key_cols[1]]),
+                pa.array(jac, type=pa.float64()),
+                pa.array(cos, type=pa.float64()),
+            ]
+            names = [key_cols[0], key_cols[1], "jaccard", "tfidf_cos"]
+            for c in pass_cols:
+                arrays.append(rb.column(idx[c]))
+                names.append(c)
+            if with_paths:
+                jw = _jw_batch(
+                    rb.column(idx["path_l"]).to_pylist(),
+                    rb.column(idx["path_r"]).to_pylist(),
+                )
+                arrays.append(pa.array(jw, type=pa.float64()))
+                names.append("jw_path")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return kernel
 
 
 def _jaro_winkler(s1: str, s2: str) -> float:
@@ -195,30 +304,40 @@ def _jaro_winkler(s1: str, s2: str) -> float:
 
 @F.pandas_udf(DoubleType())
 def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_jaro_winkler(x or "", y or "") for x, y in zip(a.tolist(), b.tolist())]
-    )
+    """Batch-memoized Jaro-Winkler: paths repeat heavily across candidate
+    pairs (clone families share module names), so compute JW once per
+    distinct (a, b) combo in the Arrow batch and scatter back."""
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    combo = np.array([x + "\x00" + y for x, y in zip(av, bv)], dtype=object)
+    uniq, inv = np.unique(combo, return_inverse=True)
+    vals = np.empty(len(uniq))
+    for i, s in enumerate(uniq):
+        x, y = s.split("\x00", 1)
+        vals[i] = _jaro_winkler(x, y)
+    return pd.Series(vals[inv])
 
 
-def _content_feature_cols(suffix_a: str = "_a", suffix_b: str = "_b") -> list:
-    """Feature expressions over attached per-content columns
-    (sig/tid/tw with the given suffixes); identical-content pairs short-
-    circuit to 1.0 without touching the UDF output."""
+def _lev_expr(suffix_a: str, suffix_b: str) -> F.Column:
+    """Signature-levenshtein similarity, pure Catalyst:
+    - identical content short-circuits to 1.0 (never runs levenshtein);
+    - two EMPTY signatures (no tokens, different content) score 0.0 — 1.0
+      is reserved for the same-content case (ADVICE fix);
+    - banded: distance beyond _LEV_THRESHOLD clamps similarity to 0.0,
+      turning the O(len²) inner loop into O(threshold·len)."""
     same = F.col(f"csid{suffix_a}") == F.col(f"csid{suffix_b}")
-    sim = _content_sim_udf(
-        f"tid{suffix_a}", f"tw{suffix_a}", f"tid{suffix_b}", f"tw{suffix_b}"
+    both_empty = (F.length(f"sig{suffix_a}") == 0) & (F.length(f"sig{suffix_b}") == 0)
+    d = F.levenshtein(f"sig{suffix_a}", f"sig{suffix_b}", _LEV_THRESHOLD)
+    lev = F.when(d < 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - d.cast("double")
+        / F.greatest(
+            F.length(f"sig{suffix_a}"), F.length(f"sig{suffix_b}"), F.lit(1)
+        )
     )
-    lev = F.lit(1.0) - F.levenshtein(
-        f"sig{suffix_a}", f"sig{suffix_b}"
-    ).cast("double") / F.greatest(
-        F.length(f"sig{suffix_a}"), F.length(f"sig{suffix_b}"), F.lit(1)
-    )
-    return [
-        F.when(same, F.struct(F.lit(1.0).alias("cos"), F.lit(1.0).alias("jac")))
-        .otherwise(sim)
-        .alias("_sim"),
-        F.when(same, F.lit(1.0)).otherwise(lev).alias("lev_sig"),
-    ]
+    return (
+        F.when(same, F.lit(1.0)).when(both_empty, F.lit(0.0)).otherwise(lev)
+    ).alias("lev_sig")
 
 
 def pair_features(
@@ -228,6 +347,7 @@ def pair_features(
     shaf: DataFrame | None = None,
     id_col: str = "file_id",
     dedup_content: bool | None = None,
+    broadcast_features: bool | None = None,
 ) -> DataFrame:
     """Featurize candidate pairs (left/right are values of `id_col` —
     pass id_col="fid" for the compact-surrogate pipeline path).
@@ -249,44 +369,66 @@ def pair_features(
         shaf = sha_features(files, tokens_col=tokens_col)
     shafk = shaf.withColumn("csid", F.xxhash64("content_sha")).drop("content_sha")
 
-    if dedup_content is None:
+    if dedup_content is None or broadcast_features is None:
         n_files = files.count()
         n_shas = shafk.count()
-        dedup_content = n_files > 1.3 * n_shas
+        if dedup_content is None:
+            dedup_content = n_files > 1.3 * n_shas
+        if broadcast_features is None:
+            # ~1 KB/row payload → broadcast up to ~500 MB of features. The
+            # candidate-pair stream is 50-1000× the feature table, so
+            # broadcasting turns BOTH attach joins into shuffle-free
+            # broadcast-hash joins (vs sort-merge shuffling pair_count × 2 KB
+            # — the round-1 scoring stage's hidden cost). Above the cap the
+            # plan falls back to sort-merge, the correct shape when the
+            # distinct-content table itself is cluster-scale.
+            broadcast_features = n_shas <= 500_000
 
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_features else df
+
+    lang_col = F.col("lang") if "lang" in files.columns else F.lit("und")
+    dirs = F.array_distinct(
+        F.slice(F.split("path", "/"), 1, F.greatest(F.size(F.split("path", "/")) - 1, F.lit(0)))
+    )
     meta = files.select(
-        F.col(id_col), F.xxhash64("content_sha").alias("csid"), F.col("path")
+        F.col(id_col),
+        F.xxhash64("content_sha").alias("csid"),
+        F.col("path"),
+        lang_col.alias("lang"),
+        dirs.alias("dirs"),
     )
     p = (
         pairs.select("left", "right")
         .join(
-            meta.select(
+            _maybe_bcast(meta.select(
                 F.col(id_col).alias("left"),
                 F.col("csid").alias("csid_l"),
                 F.col("path").alias("path_l"),
-            ),
+                F.col("lang").alias("lang_l"),
+                F.col("dirs").alias("dirs_l"),
+            )),
             "left",
         )
         .join(
-            meta.select(
+            _maybe_bcast(meta.select(
                 F.col(id_col).alias("right"),
                 F.col("csid").alias("csid_r"),
                 F.col("path").alias("path_r"),
-            ),
+                F.col("lang").alias("lang_r"),
+                F.col("dirs").alias("dirs_r"),
+            )),
             "right",
         )
     )
-
-    def feat(df: DataFrame, sa: str, sb: str) -> DataFrame:
-        return df.select(
-            "*",
-            *[c for c in _content_feature_cols(sa, sb)],
-        ).withColumns(
-            {
-                "jaccard": F.col("_sim.jac"),
-                "tfidf_cos": F.col("_sim.cos"),
-            }
-        )
+    # B11 metadata-rule features (pure Catalyst, computed per file pair)
+    dir_union = F.size(F.array_union("dirs_l", "dirs_r"))
+    meta_feats = {
+        "same_lang": (F.col("lang_l") == F.col("lang_r")).cast("double"),
+        "dir_sim": F.when(dir_union == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect("dirs_l", "dirs_r")).cast("double") / dir_union
+        ),
+    }
 
     if dedup_content:
         p = p.withColumn("csid_a", F.least("csid_l", "csid_r")).withColumn(
@@ -295,18 +437,31 @@ def pair_features(
         sha_pairs = p.select("csid_a", "csid_b").distinct()
         fa = shafk.select(
             F.col("csid").alias("csid_a"), F.col("sig").alias("sig_a"),
-            F.col("tid").alias("tid_a"), F.col("tw").alias("tw_a"),
+            F.col("tid").alias("tid_l"), F.col("tw").alias("tw_l"),
         )
         fb = shafk.select(
             F.col("csid").alias("csid_b"), F.col("sig").alias("sig_b"),
-            F.col("tid").alias("tid_b"), F.col("tw").alias("tw_b"),
+            F.col("tid").alias("tid_r"), F.col("tw").alias("tw_r"),
         )
-        sha_scored = feat(sha_pairs.join(fa, "csid_a").join(fb, "csid_b"), "_a", "_b").select(
-            "csid_a", "csid_b", "jaccard", "tfidf_cos", "lev_sig"
+        sha_pre = (
+            sha_pairs.join(_maybe_bcast(fa), "csid_a")
+            .join(_maybe_bcast(fb), "csid_b")
+            .select(
+                "csid_a", "csid_b",
+                (F.col("csid_a") == F.col("csid_b")).alias("_same"),
+                _lev_expr("_a", "_b"),
+                "tid_l", "tw_l", "tid_r", "tw_r",
+            )
+        )
+        sha_scored = sha_pre.mapInArrow(
+            _feature_kernel(("csid_a", "csid_b"), with_paths=False),
+            schema="csid_a bigint, csid_b bigint, jaccard double, "
+                   "tfidf_cos double, lev_sig double",
         )
         return (
             p.join(sha_scored, ["csid_a", "csid_b"])
             .withColumn("jw_path", _jw_udf("path_l", "path_r"))
+            .withColumns(meta_feats)
             .select("left", "right", *FEATURES)
         )
 
@@ -318,10 +473,26 @@ def pair_features(
         F.col("csid").alias("csid_r"), F.col("sig").alias("sig_r"),
         F.col("tid").alias("tid_r"), F.col("tw").alias("tw_r"),
     )
-    out = feat(p.join(fa, "csid_l").join(fb, "csid_r"), "_l", "_r")
-    return out.withColumn("jw_path", _jw_udf("path_l", "path_r")).select(
-        "left", "right", *FEATURES
+    pre = (
+        p.join(_maybe_bcast(fa), "csid_l")
+        .join(_maybe_bcast(fb), "csid_r")
+        .select(
+            "left", "right",
+            (F.col("csid_l") == F.col("csid_r")).alias("_same"),
+            _lev_expr("_l", "_r"),
+            meta_feats["same_lang"].alias("same_lang"),
+            meta_feats["dir_sim"].alias("dir_sim"),
+            "path_l", "path_r", "tid_l", "tw_l", "tid_r", "tw_r",
+        )
     )
+    id_t = dict(pairs.select("left", "right").dtypes)
+    out = pre.mapInArrow(
+        _feature_kernel(("left", "right"), with_paths=True),
+        schema=f"left {id_t['left']}, right {id_t['right']}, jaccard double, "
+               "tfidf_cos double, lev_sig double, same_lang double, "
+               "dir_sim double, jw_path double",
+    )
+    return out.select("left", "right", *FEATURES)
 
 
 # ----------------------------------------------------------------- scoring
@@ -380,6 +551,55 @@ def train_random_forest(labeled_feats: DataFrame, num_trees: int = 100,
         name: float(v) for name, v in zip(FEATURES, model.featureImportances)
     }
     return model, importances
+
+
+def train_random_forest_cv(
+    labeled_feats: DataFrame,
+    num_trees: int = 100,
+    folds: int = 5,
+    seed: int = 23,
+):
+    """B19 parity: RandomForest with k-fold cross-validation + integrated
+    threshold sweep (reference claude_poc_v2/
+    vector_enhanced_entity_resolution_v2.py:2376-2572 — 100 balanced trees,
+    5-fold stratified CV, threshold sweep 0.1-0.95 for best F1; seed 23).
+
+    Returns (model, importances: dict, best_tau: float, best_f1: float,
+    cv_auc: float). The logistic path stays the engine default (its scoring
+    is pure Catalyst); this is the higher-capacity alternative."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="fvec")
+    train = assembler.transform(
+        labeled_feats.withColumn("label", F.col("match").cast("double"))
+    )
+    rf = RandomForestClassifier(
+        featuresCol="fvec", labelCol="label", numTrees=num_trees, seed=seed
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.maxDepth, [5, 10])
+        .addGrid(rf.minInstancesPerNode, [1, 4])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=rf, estimatorParamMaps=grid, evaluator=evaluator,
+        numFolds=folds, seed=seed, parallelism=4,
+    )
+    cv_model = cv.fit(train)
+    model = cv_model.bestModel
+    importances = {
+        name: float(v) for name, v in zip(FEATURES, model.featureImportances)
+    }
+    scored = score_pairs_rf(labeled_feats, model)
+    best_tau, best_f1 = choose_threshold(scored)
+    return model, importances, best_tau, best_f1, float(max(cv_model.avgMetrics))
 
 
 def score_pairs_rf(feats: DataFrame, model) -> DataFrame:

@@ -77,6 +77,21 @@ class Pipeline:
         self.workdir.mkdir(parents=True, exist_ok=True)
         self.config = config or PipelineConfig()
         self.stage_metrics: dict[str, dict] = {}
+        self._input_fp: str | None = None
+
+    @staticmethod
+    def input_fingerprint(files: DataFrame) -> str:
+        """Order-insensitive identity of the input table: row count + sum of
+        per-row xxhash64 over the identity and content columns. Folded into
+        every stage manifest so a rerun in the same workdir with CHANGED
+        input invalidates all stale checkpoints instead of silently reusing
+        clusters computed from old data (ADVICE fix). One scan per run."""
+        cols = [c for c in ("repo", "path", "commit", "content") if c in files.columns]
+        row = files.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"
 
     # -------------------------------------------------- checkpoint plumbing
 
@@ -91,7 +106,11 @@ class Pipeline:
             m = json.loads(mf.read_text())
         except json.JSONDecodeError:
             return False
-        return m.get("complete") and m.get("config") == self.config.fingerprint()
+        return (
+            m.get("complete")
+            and m.get("config") == self.config.fingerprint()
+            and m.get("input_fp") == self._input_fp
+        )
 
     def _write_stage(self, stage: str, df: DataFrame) -> DataFrame:
         """Materialize a stage: parquet + manifest with per-partition lineage."""
@@ -114,6 +133,7 @@ class Pipeline:
             "wall_ms": wall_ms,
             "partitions": part_counts,
             "config": self.config.fingerprint(),
+            "input_fp": self._input_fp,
             "written_at": time.time(),
         }
         (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
@@ -136,6 +156,7 @@ class Pipeline:
         """Run (or resume) the pipeline; returns the clusters DataFrame
         (file_id, cluster_id), or None if stopped early via stop_after."""
         cfg = self.config
+        self._input_fp = self.input_fingerprint(files)
 
         norm = self._stage("s1_normalized", lambda: normalize_files(files))
         if stop_after == "s1_normalized":

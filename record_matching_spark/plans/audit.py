@@ -41,7 +41,7 @@ def plan_audit(df: DataFrame) -> dict:
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", txt)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", txt)),
         "shuffle_exchanges": len(re.findall(r"\bExchange\b", txt)),
-        "arrow_udf_nodes": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", txt)),
+        "arrow_udf_nodes": len(re.findall(r"ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas", txt)),
         "rowwise_python_nodes": len(re.findall(r"BatchEvalPython", txt)),
         "plan": txt,
     }

@@ -59,6 +59,20 @@ def read_repo_files(
     return spark.read.schema(REPO_FILES_SCHEMA).parquet(source)
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema: str | T.StructType
+) -> DataFrame:
+    """A1: CSV scan with an enforced schema (never inferred — the reference
+    declares every table schema at registration, context.py:110-154)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_csv(df: DataFrame, dest: str, mode: str = "overwrite") -> None:
+    """A4: CSV sink with header (reference prediction/entity exports,
+    /root/reference/claude_poc/entity-resolution_v4.py:1363)."""
+    df.write.mode(mode).option("header", "true").csv(dest)
+
+
 def write_stage(
     df: DataFrame,
     dest: str,

@@ -102,3 +102,21 @@ def test_config_change_invalidates_checkpoint(run, spark, truth_df, tmp_path_fac
     p2 = Pipeline(spark, work3, PipelineConfig(tau=0.9))
     p2.run(files, stop_after="s1_normalized")
     assert "resumed" not in p2.stage_metrics["s1_normalized"]
+
+
+def test_input_change_invalidates_checkpoint(spark, truth_df, tmp_path_factory):
+    """ADVICE fix: rerunning the same workdir with CHANGED input must not
+    silently reuse checkpoints computed from the old data."""
+    work4 = tmp_path_factory.mktemp("pipeline_input")
+    files = repo_files(truth_df)
+    cfg = PipelineConfig(tau=0.5)
+    p1 = Pipeline(spark, work4, cfg)
+    p1.run(files, stop_after="s1_normalized")
+    changed = files.filter(F.col("lang") != "go")
+    p2 = Pipeline(spark, work4, cfg)
+    p2.run(changed, stop_after="s1_normalized")
+    assert "resumed" not in p2.stage_metrics["s1_normalized"]
+    # unchanged input still resumes
+    p3 = Pipeline(spark, work4, cfg)
+    p3.run(changed, stop_after="s1_normalized")
+    assert p3.stage_metrics["s1_normalized"] == {"resumed": True}

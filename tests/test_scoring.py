@@ -68,6 +68,10 @@ def test_pair_features_oracle(spark):
     expect_cos = 3 * w_shared**2 / norm**2
     assert got["sim"]["tfidf_cos"] == pytest.approx(expect_cos, abs=1e-6)
 
+    # metadata features (B11): same lang + same dir ("") → both 1.0 here
+    assert got["sim"]["same_lang"] == 1.0
+    assert got["sim"]["dir_sim"] == 1.0
+
     # identical-content pair → all features 1
     files2 = _mk_files(spark, ["same text here", "same text here"])
     ids2 = sorted(r["file_id"] for r in files2.select("file_id").collect())
@@ -76,11 +80,37 @@ def test_pair_features_oracle(spark):
     assert r["jaccard"] == 1.0 and r["tfidf_cos"] == 1.0 and r["lev_sig"] == 1.0
 
 
+def test_metadata_features(spark):
+    """B11: lang mismatch and directory overlap are scored features."""
+    rows = [
+        ("r0", "src/a/x.py", "c0", "python", "alpha beta"),
+        ("r1", "src/a/y.java", "c1", "java", "alpha beta"),
+        ("r2", "lib/b/z.py", "c2", "python", "alpha beta"),
+    ]
+    files = normalize_files(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    ids = {r["path"].split("/")[-1]: r["file_id"]
+           for r in files.select("path", "file_id").collect()}
+    def pair(a, b):
+        return (min(ids[a], ids[b]), max(ids[a], ids[b]))
+    pairs = spark.createDataFrame(
+        [pair("x.py", "y.java"), pair("x.py", "z.py")], "left string, right string"
+    )
+    feats = {(r["left"], r["right"]): r for r in pair_features(pairs, files).collect()}
+    xy = feats[pair("x.py", "y.java")]
+    xz = feats[pair("x.py", "z.py")]
+    assert xy["same_lang"] == 0.0 and xz["same_lang"] == 1.0
+    assert xy["dir_sim"] == 1.0          # src/a == src/a
+    assert xz["dir_sim"] == 0.0          # src/a vs lib/b
+
+
 def test_score_monotone(spark):
     df = spark.createDataFrame(
-        [("a", "b", 1.0, 1.0, 1.0, 1.0), ("c", "d", 0.1, 0.1, 0.2, 0.5)],
+        [("a", "b", 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+         ("c", "d", 0.1, 0.1, 0.2, 0.5, 1.0, 0.5)],
         "left string, right string, jaccard double, tfidf_cos double, "
-        "lev_sig double, jw_path double",
+        "lev_sig double, jw_path double, same_lang double, dir_sim double",
     )
     rows = {(r["left"]): r["score"] for r in score_pairs(df).collect()}
     assert rows["a"] > 0.9
@@ -100,11 +130,14 @@ def test_train_weights_separates(spark):
             min(1.0, max(0.0, base + rng.uniform(-0.1, 0.1))),
             min(1.0, max(0.0, base + rng.uniform(-0.1, 0.1))),
             0.5,
+            1.0,
+            min(1.0, max(0.0, base + rng.uniform(-0.1, 0.1))),
             match,
         ))
     df = spark.createDataFrame(
         rows, "left string, right string, jaccard double, tfidf_cos double, "
-              "lev_sig double, jw_path double, match boolean")
+              "lev_sig double, jw_path double, same_lang double, dir_sim double, "
+              "match boolean")
     w = train_weights(df)
     scored = score_pairs(df, w)
     bad = scored.filter(
