@@ -13,6 +13,8 @@ from record_matching_spark.functions.dedup import (  # noqa: F401
 )
 from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
+    cosine_topk_tiled,
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
+from record_matching_spark.functions.search import search_text  # noqa: F401

@@ -16,11 +16,13 @@ Reference analogs:
   content_sha_r) pair, joined back to file pairs.
 
 Feature vector (per candidate pair):
-  jaccard    — |tokens_l ∩ tokens_r| / |tokens_l ∪ tokens_r|   (Catalyst)
-  tfidf_cos  — cosine of L2-normalized TF-IDF vectors           (pandas UDF)
-  lev_sig    — 1 - lev(sig_l, sig_r)/max(len)  on the sorted-token signature
-                                                                (Catalyst)
-  jw_path    — Jaro-Winkler on file paths                       (pandas UDF)
+  jaccard    — |tokens_l ∩ tokens_r| / |tokens_l ∪ tokens_r|   (mapInArrow)
+  tfidf_cos  — cosine of L2-normalized TF-IDF vectors          (mapInArrow)
+  lev_sig    — 1 - lev(sig_l, sig_r)/max(len), banded, on the sorted-token
+               signature                                        (Catalyst)
+  jw_path    — Jaro-Winkler on file paths          (memoized, in the kernel)
+  same_lang  — language equality                                (Catalyst)
+  dir_sim    — path-directory token Jaccard                     (Catalyst)
 """
 
 from __future__ import annotations
@@ -365,13 +367,29 @@ def pair_features(
       mostly unique (mutation-heavy corpora).
     Output: left, right, jaccard, tfidf_cos, lev_sig, jw_sig, jw_path.
     """
+    built_shaf = shaf is None
     if shaf is None:
         shaf = sha_features(files, tokens_col=tokens_col)
     shafk = shaf.withColumn("csid", F.xxhash64("content_sha")).drop("content_sha")
+    if built_shaf:
+        # materialize the freshly-built feature table ONCE: both join sides
+        # (fa, fb) reference it, so an unmaterialized plan would run the
+        # whole TF-IDF build twice (once per broadcast side). Skipped when
+        # the caller passed a checkpointed shaf (the staged pipeline).
+        # localCheckpoint auto-releases on GC.
+        shafk = shafk.localCheckpoint(eager=True)
 
     if dedup_content is None or broadcast_features is None:
-        n_files = files.count()
-        n_shas = shafk.count()
+        # decide from the (cheap, often cached) files table — counting shaf
+        # would materialize the whole TF-IDF build once for the count and
+        # then recompute it in the real plan
+        row = files.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("content_sha").alias("d")
+            if "content_sha" in files.columns
+            else F.count_distinct(tokens_col).alias("d"),
+        ).collect()[0]
+        n_files, n_shas = row["n"], row["d"]
         if dedup_content is None:
             dedup_content = n_files > 1.3 * n_shas
         if broadcast_features is None:

@@ -59,6 +59,30 @@ def read_repo_files(
     return spark.read.schema(REPO_FILES_SCHEMA).parquet(source)
 
 
+def iceberg_ddl(
+    table: str = "catalog.db.repo_files",
+    partition_by: tuple[str, ...] = ("lang", "bucket(64, repo)"),
+) -> str:
+    """DDL for the repo_files contract table as an Iceberg table — the
+    deployment recipe for clusters with Iceberg extensions (this sandbox
+    has none, so it is emitted as a string rather than executed; run it
+    via spark.sql on a real cluster).
+
+    Partition spec rationale at 100 TB: `lang` gives coarse static pruning
+    for per-language jobs; `bucket(64, repo)` spreads the heavy-repo skew
+    while keeping one repo's files co-located for repo-scoped scans.
+    Reference analog: hive partitioning of the templated stage by `key`
+    (/root/reference/record_matching/context.py:118-123)."""
+    cols = ", ".join(f"{f.name} STRING" for f in REPO_FILES_SCHEMA.fields)
+    spec = ", ".join(partition_by)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING iceberg "
+        f"PARTITIONED BY ({spec}) "
+        f"TBLPROPERTIES ('write.distribution-mode'='hash', "
+        f"'write.target-file-size-bytes'='536870912')"
+    )
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: str | T.StructType
 ) -> DataFrame:

@@ -99,8 +99,10 @@ def _burn(n: int) -> int:
     return s
 
 
-def cpu_ceiling(lo_workers: int = 4, hi_workers: int = 16) -> dict:
-    """Hardware scaling ceiling: pure-python CPU burn, no Spark."""
+def cpu_ceiling(lo_workers: int, hi_workers: int) -> dict:
+    """Hardware scaling ceiling: pure-python CPU burn, no Spark — measured
+    at the SAME worker counts as the Spark levels, so it captures whatever
+    the noisy neighbors are doing to the box AT MEASUREMENT TIME."""
     def bench(workers: int, per: int = 4_000_000, tasks: int = 64) -> float:
         with mp.Pool(workers) as p:
             t0 = time.monotonic()
@@ -123,24 +125,47 @@ def _better(a: dict | None, b: dict) -> dict:
 def main() -> None:
     fams = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     reps = int(os.environ.get("SCALING_REPS", "2"))
-    hw = cpu_ceiling()
+    lo_cores = int(os.environ.get("SCALING_LO", "4"))
+    hi_cores = int(os.environ.get("SCALING_HI", str(4 * lo_cores)))
     lo = hi = None
+    hw_lo = hw_hi = 0.0
     # interleave + best-of-N: this VM shows large host-contention variance
-    # (same job measured 66s and 353s); best-of approximates the quiet box
+    # (same job measured 66s and 353s) AND persistent noisy neighbors
+    # (~10 cores of alien load at times); best-of approximates the quiet
+    # box. The CPU calibration takes best-of PER LEVEL (same rule as the
+    # Spark numbers) — pairing one noisy lo with one quiet hi would
+    # otherwise fabricate superlinear hardware.
     for _ in range(reps):
-        lo = _better(lo, run_level(4, fams))
-        hi = _better(hi, run_level(16, fams))
+        hw_now = cpu_ceiling(lo_cores, hi_cores)
+        hw_lo = max(hw_lo, hw_now["lo_tasks_per_sec"])
+        hw_hi = max(hw_hi, hw_now["hi_tasks_per_sec"])
+        lo = _better(lo, run_level(lo_cores, fams))
+        hi = _better(hi, run_level(hi_cores, fams))
+    hw = {
+        "lo_tasks_per_sec": hw_lo,
+        "hi_tasks_per_sec": hw_hi,
+        "hw_efficiency": min(1.0, round(hw_hi / hw_lo / (hi_cores / lo_cores), 3)),
+    }
     assert lo["clusters_sha"] == hi["clusters_sha"], (
         "clusters differ across parallelism levels!")
-    eff_full = (hi["full_pairs_per_sec"] / lo["full_pairs_per_sec"]) / 4.0
+    factor = hi_cores / lo_cores
+    eff_full = (hi["full_pairs_per_sec"] / lo["full_pairs_per_sec"]) / factor
     eff_kern = (
         hi["featurize_score_pairs_per_sec"] / lo["featurize_score_pairs_per_sec"]
-    ) / 4.0
+    ) / factor
+    # normalized to what the box itself delivered for pure CPU at the same
+    # worker counts at the same time (1.0 = engine scales as well as the
+    # hardware allows)
+    eff_full_norm = eff_full / hw["hw_efficiency"]
+    eff_kern_norm = eff_kern / hw["hw_efficiency"]
     report = {
         "n_families": fams, "files": hi["files"], "pairs": hi["pairs"],
         "lo": lo, "hi": hi, "hw_ceiling": hw,
+        "lo_cores": lo_cores, "hi_cores": hi_cores,
         "scaling_efficiency_full_pipeline": round(eff_full, 3),
         "scaling_efficiency_scoring_kernel": round(eff_kern, 3),
+        "scaling_efficiency_full_hw_normalized": round(eff_full_norm, 3),
+        "scaling_efficiency_kernel_hw_normalized": round(eff_kern_norm, 3),
         "clusters_identical": True,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -150,17 +175,22 @@ def main() -> None:
 
 ER pipeline on the deterministic synthetic repo_files corpus
 ({hi['files']} files, {hi['pairs']} candidate pairs, seed=42), identical
-input at N=local[4] and 4N=local[16] (no multi-node cluster exists in this
-sandbox; N and 4N cores stand in for N and 4N executors per the task rule).
+input at N=local[{lo_cores}] and 4N=local[{hi_cores}] (no multi-node
+cluster exists in this sandbox; N and 4N cores stand in for N and 4N
+executors per the task rule). Best-of-{reps} per level, interleaved with a
+pure-CPU calibration at the same worker counts — this VM carries ~10 cores
+of alien tenant load at times, so raw Spark ratios are only meaningful
+against what the box itself delivered at the same moment.
 
 ## Full pipeline (blocking → salted self-join pairs → featurize+score → CC)
 
 | parallelism | wall (s) | pairs/sec end-to-end |
 |---|---|---|
-| local[4]  (N)  | {lo['full_wall_s']} | {lo['full_pairs_per_sec']} |
-| local[16] (4N) | {hi['full_wall_s']} | {hi['full_pairs_per_sec']} |
+| local[{lo_cores}]  (N)  | {lo['full_wall_s']} | {lo['full_pairs_per_sec']} |
+| local[{hi_cores}] (4N) | {hi['full_wall_s']} | {hi['full_pairs_per_sec']} |
 
-Full-pipeline scaling efficiency (N→4N): **{eff_full:.3f}**
+Full-pipeline scaling efficiency (N→4N): **{eff_full:.3f}** raw,
+**{eff_full_norm:.3f}** normalized to the same-moment hardware ceiling.
 
 ## Scoring kernel — candidate-pairs-scored/sec (the BASELINE.json metric)
 
@@ -168,16 +198,19 @@ Featurization + logistic scoring over cached candidate pairs:
 
 | parallelism | wall (s) | candidate-pairs-scored/sec |
 |---|---|---|
-| local[4]  (N)  | {lo['featurize_score_wall_s']} | {lo['featurize_score_pairs_per_sec']} |
-| local[16] (4N) | {hi['featurize_score_wall_s']} | {hi['featurize_score_pairs_per_sec']} |
+| local[{lo_cores}]  (N)  | {lo['featurize_score_wall_s']} | {lo['featurize_score_pairs_per_sec']} |
+| local[{hi_cores}] (4N) | {hi['featurize_score_wall_s']} | {hi['featurize_score_pairs_per_sec']} |
 
-Scoring-kernel scaling efficiency (N→4N): **{eff_kern:.3f}**
+Scoring-kernel scaling efficiency (N→4N): **{eff_kern:.3f}** raw,
+**{eff_kern_norm:.3f}** normalized to the same-moment hardware ceiling.
 
 ## Interpretation
 
-- Hardware ceiling on this VM (pure-CPU burn, no Spark, 4→16 procs):
-  **{hw['hw_efficiency']:.3f}** — the box itself does not deliver 4× from
-  4× threads under host virtualization.
+- Hardware ceiling on this VM (pure-CPU burn, no Spark,
+  {lo_cores}→{hi_cores} procs, best across reps): **{hw['hw_efficiency']:.3f}**
+  — the box itself does not deliver 4× from 4× workers under host
+  virtualization + alien tenant load; the normalized numbers divide the
+  Spark ratio by this same-moment ceiling.
 - In local mode every "executor" shares ONE memory bus and ONE spill
   device, so shuffle-heavy stages (candidate-pair dedup, feature joins)
   are bandwidth-bound: more threads do not add bandwidth. On a real

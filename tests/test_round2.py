@@ -185,6 +185,17 @@ def test_random_forest_cv_and_threshold(spark):
     assert flat < 0.2
 
 
+def test_iceberg_ddl_recipe():
+    from record_matching_spark.sources.io import iceberg_ddl
+
+    ddl = iceberg_ddl("cat.db.t")
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS cat.db.t (")
+    for col in ("repo STRING", "path STRING", "commit STRING",
+                "lang STRING", "content STRING"):
+        assert col in ddl
+    assert "USING iceberg" in ddl and "PARTITIONED BY (lang, bucket(64, repo))" in ddl
+
+
 # ------------------------------------------------------ A1/A4 CSV round-trip
 
 
