@@ -298,6 +298,24 @@ def _q23_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ).select("left", "right")
 
 
+_SEARCH_QUERY = "the quick data pipeline processing"
+
+
+def _q31_search_text(spark: SparkSession, sf: str) -> DataFrame:
+    """B24: query-by-string search — tokenize the query, rank the corpus by
+    containment then token Jaccard, deterministic top-k (reference
+    search_string, main.py:504-549)."""
+    from record_matching_spark.functions.search import search_text
+
+    d = _read(spark, sf, "documents")
+    return search_text(d, _SEARCH_QUERY, k=10).select(
+        "doc_id",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "rank",
+    )
+
+
 def _q28_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """B16: cluster canonicalization — one representative per cluster by
     completeness (n_chars) with deterministic tie-break (reference
@@ -441,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_canonical_docs": _q28_canonical_docs,
         "q29_refined_clusters": _q29_refined_clusters,
         "q30_er_pipeline": _q30_er_pipeline,
+        "q31_search_text": _q31_search_text,
     }
 
 
@@ -662,6 +681,23 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
                      + 1e-12) >= 0.3
+        """,
+        "q31_search_text": f"""
+            WITH t AS (SELECT doc_id,
+                              list_sort(list_distinct({_TOKS})) AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         len(list_intersect(toks,
+                             ['data','pipeline','processing','quick','the']))::DOUBLE AS inter,
+                         len(list_distinct(list_concat(toks,
+                             ['data','pipeline','processing','quick','the'])))::DOUBLE AS uni
+                  FROM t)
+            SELECT doc_id, round(inter / 5, 6) AS containment,
+                   round(inter / uni, 6) AS jaccard, rank
+            FROM (SELECT *, row_number() OVER (ORDER BY inter / 5 DESC,
+                                               inter / uni DESC, doc_id) AS rank
+                  FROM s WHERE inter > 0)
+            WHERE rank <= 10
         """,
         "q28_canonical_docs": """
             SELECT cluster_id, doc_id, cluster_size FROM (

@@ -40,8 +40,11 @@ try:
 except (IndexError, ValueError):
     SF = 0.1
 
-# synthetic ER corpus sized to SF: sf0.1 → ~1500 families ≈ 13k files
-ER_FAMILIES = max(100, int(15000 * SF))
+# synthetic ER corpus sized to SF: sf0.1 → 4000 families ≈ 32k files /
+# ~2.5M candidate pairs — big enough that pairs-scored/sec measures the
+# scoring kernel rather than fixed per-stage overhead (generation itself is
+# cached as parquet and excluded from timings)
+ER_FAMILIES = max(100, int(40000 * SF))
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 
