@@ -35,3 +35,86 @@ def test_incremental_normalize_exactly_once(spark, tmp_path):
     # a third run with nothing new appends nothing
     incremental_normalize(spark, str(src), str(dst), str(ckp))
     assert spark.read.parquet(str(dst)).count() == n1 + n2
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """First occurrence of each key passes; re-deliveries are dropped even
+    in a LATER micro-batch (state survives in the checkpoint)."""
+    from record_matching_spark.streaming.ops import (
+        run_stream_to_parquet,
+        stateful_stream_dedup,
+    )
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    ckp = tmp_path / "ck"
+    schema = "content_sha string, doc_id long"
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], schema
+    ).write.parquet(str(src), mode="append")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_parquet(
+            stateful_stream_dedup(stream, "content_sha"), str(dst), str(ckp)
+        )
+
+    run()
+    got1 = spark.read.parquet(str(dst))
+    assert got1.count() == 2  # one row per distinct sha
+    assert {r["content_sha"] for r in got1.collect()} == {"a", "b"}
+
+    # batch 2 re-delivers 'a' and 'b', introduces 'c'
+    spark.createDataFrame(
+        [("a", 9), ("c", 4), ("b", 8)], schema
+    ).write.parquet(str(src), mode="append")
+    run()
+    got2 = spark.read.parquet(str(dst))
+    assert got2.count() == 3
+    assert {r["content_sha"] for r in got2.collect()} == {"a", "b", "c"}
+
+
+def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling windows: rows later than the watermark behind
+    the max seen timestamp are excluded from finalized windows."""
+    from record_matching_spark.streaming.ops import (
+        run_stream_to_parquet,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "ev_in"
+    dst = tmp_path / "ev_out"
+    ckp = tmp_path / "ev_ck"
+    schema = "ts timestamp, event_type string, value double"
+    rows1 = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:20:00", "click", 2.0),
+        ("2024-01-01 12:10:00", "view", 5.0),  # advances watermark past 11:40
+    ]
+    df1 = spark.createDataFrame(rows1, "ts string, event_type string, value double")
+    df1.selectExpr("CAST(ts AS timestamp) ts", "event_type", "value").write.parquet(
+        str(src), mode="append"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_parquet(
+            windowed_event_counts(stream), str(dst), str(ckp)
+        )
+
+    run()
+    # batch 2: a row for the 10:00 window arrives AFTER the watermark passed
+    # 11:40 — it must NOT reopen the finalized window
+    df2 = spark.createDataFrame(
+        [("2024-01-01 10:45:00", "click", 100.0)],
+        "ts string, event_type string, value double",
+    )
+    df2.selectExpr("CAST(ts AS timestamp) ts", "event_type", "value").write.parquet(
+        str(src), mode="append"
+    )
+    run()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(str(dst)).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0), got
