@@ -5,11 +5,11 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible (26 of 30,
+from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible (26 of 31,
 including the q26 mini-ER whose oracle is a recursive-CTE reachability
 closure). Rows-only by design: q24 simhash, q25 LSH-ANN (approximate),
-q29 cluster refinement, q30 the full ER pipeline on the synthetic
-repo_files corpus — each gated by a pytest substitute instead.
+q27 media decode, q29 cluster refinement, q30 the full ER pipeline on the
+synthetic repo_files corpus — each gated by a pytest substitute instead.
 """
 
 from __future__ import annotations

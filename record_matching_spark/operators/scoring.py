@@ -78,7 +78,7 @@ _LEV_THRESHOLD = _SIG_CHARS // 2
 def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Per-distinct-content feature table keyed by content_sha.
 
-    Columns: content_sha, sig (levenshtein signature string, ≤160 chars),
+    Columns: content_sha, sig (levenshtein signature string, ≤_SIG_CHARS),
     tid (sorted int32 token-hash ids), tw (L2-normalized float32 TF-IDF
     weights aligned with tid). Fully JVM-side.
 
