@@ -298,6 +298,31 @@ def _q23_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ).select("left", "right")
 
 
+def _q32_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data op: deterministic, append-stable train/val/test split
+    by key hash (portable md5 mode so DuckDB reproduces the assignment
+    bit-for-bit)."""
+    from record_matching_spark.functions.sampling import hash_split
+
+    d = _read(spark, sf, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    ).select("doc_id", "split")
+
+
+def _q33_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data op: per-group quota sampling (cap 20 docs per lang,
+    best-first by n_chars, deterministic id tie-break) — the training-mix
+    balancer."""
+    from record_matching_spark.functions.sampling import quota_sample
+
+    d = _read(spark, sf, "documents")
+    return quota_sample(
+        d, ["lang"], cap=20, order_col="n_chars", id_col="doc_id",
+        hash_tiebreak=False,
+    ).select("lang", "doc_id", "n_chars")
+
+
 _SEARCH_QUERY = "the quick data pipeline processing"
 
 
@@ -460,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_refined_clusters": _q29_refined_clusters,
         "q30_er_pipeline": _q30_er_pipeline,
         "q31_search_text": _q31_search_text,
+        "q32_hash_split": _q32_hash_split,
+        "q33_quota_sample": _q33_quota_sample,
     }
 
 
@@ -681,6 +708,24 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
                      + 1e-12) >= 0.3
+        """,
+        "q32_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 100000 THEN 'test'
+                        WHEN b < 900000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split' || '|' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                         % 1000000 AS b
+                  FROM documents)
+        """,
+        "q33_quota_sample": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
         """,
         "q31_search_text": f"""
             WITH t AS (SELECT doc_id,

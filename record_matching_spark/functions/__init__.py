@@ -18,3 +18,8 @@ from record_matching_spark.functions.similarity import (  # noqa: F401
     lsh_cosine_topk,
 )
 from record_matching_spark.functions.search import search_text  # noqa: F401
+from record_matching_spark.functions.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_split,
+    quota_sample,
+)

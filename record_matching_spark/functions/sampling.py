@@ -1,0 +1,94 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Not in the reference (its train/test split is sklearn's in-memory
+stratified split, /root/reference/claude_poc/entity-resolution_v4.py:
+1824-1829) — these are the distributed, reproducible equivalents a
+100-TB data pipeline needs: membership must be a pure function of the
+ROW KEY (stable under reruns, repartitioning, and incremental appends),
+never of RNG state or partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int, seed: str = "split") -> Column:
+    """Deterministic bucket in [0, n_buckets) from a key column — pure
+    Catalyst (xxhash64 + pmod), stable at any parallelism."""
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(n_buckets)).cast("int")
+
+
+def md5_bucket(key: Column, n_buckets: int, seed: str = "split") -> Column:
+    """Portable deterministic bucket: int of the first 8 hex chars of
+    md5(seed|key), mod n. Slower than xxhash64 but reproducible in ANY
+    engine with md5 (used by the DuckDB-oracled q32)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test…) by hashing its
+    key: reproducible, append-stable (new rows never move old rows), and
+    exact-ratio in expectation. Weights need not sum to 1 — they are
+    normalized. portable=True hashes via md5 (cross-engine reproducible);
+    default xxhash64 (faster, JVM-only). Output: df + <out_col> string."""
+    total = sum(weights.values())
+    n = 1_000_000
+    if portable:
+        bucket = md5_bucket(F.col(key_col), n, seed)
+    else:
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(n))
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())  # deterministic boundary order
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(acc * n)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    order_col: str | None = None,
+    id_col: str | None = None,
+    seed: str = "quota",
+    hash_tiebreak: bool = True,
+) -> DataFrame:
+    """At most `cap` rows per group — the training-mix balancer (cap docs
+    per domain/lang so no source dominates). Selection is deterministic:
+    rows rank by `order_col` (e.g. a quality score, descending) with a
+    hash tie-break, or by pure key-hash when no order is given. Scales as
+    one window per group (no global sort)."""
+    if order_col is None and id_col is None:
+        raise ValueError("need order_col and/or id_col for deterministic selection")
+    keys = []
+    if order_col is not None:
+        keys.append(F.desc(order_col))
+    if id_col is not None:
+        if hash_tiebreak:
+            # hash tie-break = an unbiased within-group shuffle; disable for
+            # engine-portable (oracle-able) plain-id ordering
+            keys.append(F.asc(F.xxhash64(F.lit(seed), F.col(id_col))))
+        keys.append(F.asc(id_col))
+    w = Window.partitionBy(*group_cols).orderBy(*keys)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
