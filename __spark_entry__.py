@@ -5,9 +5,9 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible (26 of 31,
+from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible (28 of 34,
 including the q26 mini-ER whose oracle is a recursive-CTE reachability
-closure). Rows-only by design: q24 simhash, q25 LSH-ANN (approximate),
+closure). Rows-only by design: q24 simhash, q25/q34 approximate ANN,
 q27 media decode, q29 cluster refinement, q30 the full ER pipeline on the
 synthetic repo_files corpus — each gated by a pytest substitute instead.
 """
@@ -380,6 +380,16 @@ def _q25_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_cosine_topk(e, e, k=3, n_tables=16, bits=4)
 
 
+def _q34_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity search: IVF coarse-quantizer ANN (k-means cells + n_probe
+    inverted-list search, exact cosine re-rank). Approximate → rows-only;
+    recall vs brute force gated in tests/test_functions.py."""
+    from record_matching_spark.functions.similarity import ivf_cosine_topk
+
+    e = _read(spark, sf, "embeddings")
+    return ivf_cosine_topk(e, e, k=3, n_cells=16, n_probe=6)
+
+
 def _q26_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Mini-ER over the documents table: MinHash-LSH near-dup pairs →
     large-star/small-star transitive closure → (doc_id, cluster_id) with
@@ -487,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_search_text": _q31_search_text,
         "q32_hash_split": _q32_hash_split,
         "q33_quota_sample": _q33_quota_sample,
+        "q34_ivf_topk": _q34_ivf_topk,
     }
 
 

@@ -14,6 +14,7 @@ from record_matching_spark.functions.dedup import (  # noqa: F401
 from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_tiled,
+    ivf_cosine_topk,
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )

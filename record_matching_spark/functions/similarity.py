@@ -241,6 +241,82 @@ def hyperplane_buckets(
     )
 
 
+def _l2_normalize(vec: Column) -> Column:
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+    return F.transform(vec, lambda v: v.cast("double") / (norm + F.lit(_EPS)))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    n_probe: int = 4,
+    seed: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside the hyperplane-LSH one:
+
+    1. k-means over L2-NORMALIZED corpus vectors (pyspark.ml, distributed;
+       on unit vectors euclidean order == cosine order) → n_cells centroids;
+    2. each corpus vector lands in its nearest cell (inverted lists);
+    3. each query probes its n_probe nearest cells only, with exact cosine
+       re-rank inside the probed lists.
+
+    Candidate work per query is ~n_probe/n_cells of the corpus — the IVF
+    trade (recall vs probe count) every vector store makes. Approximate by
+    construction → rows-only in the driver; recall vs the exact baseline is
+    pytest-gated. Output: (query_id, neighbor_id, rank)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_n = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(_l2_normalize(F.col(vec_col))).alias("_nv"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_nv", predictionCol="cell")
+    model = km.fit(corpus_n)
+    inv = model.transform(corpus_n).select("neighbor_id", "_cv", "cell")
+
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast(centers)
+    n_probe_eff = min(n_probe, len(centers))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            x = x / (np.linalg.norm(x) + _EPS)
+            d = ((c - x) ** 2).sum(axis=1)
+            out.append(np.argsort(d)[:n_probe_eff].astype(np.int64))
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

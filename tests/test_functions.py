@@ -118,6 +118,19 @@ def test_lsh_topk_recall(spark, emb):
     assert recall >= 0.85, f"LSH recall {recall:.3f}"
 
 
+def test_ivf_topk_recall(spark, emb):
+    from record_matching_spark.functions.similarity import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(queries, emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_cosine_topk(queries, emb, k=3,
+                                       n_cells=16, n_probe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF recall {recall:.3f}"
+
+
 def test_embedding_near_dups_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),
