@@ -52,6 +52,15 @@ class PipelineConfig:
     drop_cap: int | None = None
     tau: float = 0.5
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+    # B15 cluster refinement (off by default): with refine on, set tau LOW
+    # (recall-max chaining) and let the coherence pass split mega-clusters
+    # at refine_edge_tau — measured on the hardened corpus: tau=0.2 raw CC
+    # gives ARI 0.64 / precision 0.51; refined at (0.99, 0.95) gives
+    # ARI 0.99998 / precision 1.0 (BENCH.md)
+    refine: bool = False
+    refine_coherence_tau: float = 0.99
+    refine_edge_tau: float = 0.95
+    refine_min_size: int = 3
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -208,6 +217,15 @@ class Pipeline:
                 F.col("left").alias("src"), F.col("right").alias("dst")
             )
             assign = cluster_assignments(edges, norm, "fid")
+            if cfg.refine:
+                from record_matching_spark.operators.refine import refine_clusters
+
+                assign = refine_clusters(
+                    assign, scores, "fid",
+                    coherence_tau=cfg.refine_coherence_tau,
+                    edge_tau=cfg.refine_edge_tau,
+                    min_size=cfg.refine_min_size,
+                )
             return assign.join(norm.select("fid", "file_id"), "fid").select(
                 "file_id", "cluster_id"
             )

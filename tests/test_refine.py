@@ -52,6 +52,39 @@ def test_refine_splits_bridged_mega_cluster(spark):
     assert len(got) == 8
 
 
+def test_pipeline_recall_first_then_refine(spark, tmp_path):
+    """The two-stage pattern on the HARDENED corpus: a recall-max threshold
+    (tau=0.2) chains sibling entities into mega-clusters (ARI ~0.64,
+    precision ~0.51); the coherence refinement pass splits them back to
+    near-perfect clusters — B15's measured value (sweep in BENCH.md)."""
+    from pyspark.sql import functions as F
+
+    from record_matching_spark.operators.evaluate import adjusted_rand_index
+    from record_matching_spark.pipeline import Pipeline, PipelineConfig
+    from record_matching_spark.synth import repo_files, synth_repo_files_with_truth
+
+    truth = synth_repo_files_with_truth(
+        spark, n_families=60, seed=42, members_mean=4, heavy_families=0,
+        mutations_max=14, sib_swap=0.25,
+    ).cache()
+    files = repo_files(truth)
+    tmap = truth.select("file_id", "entity_id")
+
+    raw = Pipeline(spark, tmp_path / "raw", PipelineConfig(tau=0.2)).run(files)
+    ari_raw = adjusted_rand_index(raw, tmap)
+
+    refined = Pipeline(
+        spark, tmp_path / "ref", PipelineConfig(tau=0.2, refine=True)
+    ).run(files)
+    ari_ref = adjusted_rand_index(refined, tmap)
+
+    # deterministic corpus: measured ari_raw ≈ 0.877, ari_ref ≈ 0.973 with
+    # DEFAULT weights (trained weights reach 0.9999 — see BENCH.md sweep)
+    assert ari_raw < 0.9, f"expected mega-clusters at tau=0.2, got ARI {ari_raw:.3f}"
+    assert ari_ref > 0.95, f"refinement should restore clusters, ARI {ari_ref:.3f}"
+    assert ari_ref - ari_raw > 0.05
+
+
 def test_refine_isolates_members_without_strong_edges(spark):
     # star around 1 with all-weak edges: refinement shatters it to singletons
     scored = _scored(spark, [(1, 2, 0.6), (1, 3, 0.55), (2, 3, 0.51)])
