@@ -85,19 +85,27 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     return F.transform(starts, lambda i: F.substr(col, i, F.lit(k)))
 
 
-def normalize_files(files: DataFrame, content_col: str = "content") -> DataFrame:
+def normalize_files(
+    files: DataFrame, content_col: str = "content", id_bits: int = 64
+) -> DataFrame:
     """Add the engine's derived columns to a repo_files-shaped table.
 
     - file_id      : sha2(repo|path|commit) — stable record id
-    - fid          : xxhash64(file_id) — compact int64 surrogate id used for
-                     blocking/pairing/clustering shuffles (8 bytes instead of
-                     a 64-char string; a collision merges two records, with
-                     probability n²/2⁶⁵ — at 10¹²-file scale widen to 128 bits
-                     by adding a second seeded hash column to every join key)
+    - fid          : compact surrogate id used for blocking/pairing/
+                     clustering shuffles instead of the 64-char string.
+                     id_bits=64 → xxhash64(file_id), 8 bytes; a collision
+                     merges two records with probability n²/2⁶⁵.
+                     id_bits=128 → struct<h1,h2> of two independently-seeded
+                     xxhash64s (collision n²/2¹²⁹) — the 10¹²-file-scale
+                     option; struct keys flow through every join/groupBy/
+                     least/greatest in the engine unchanged (verified by
+                     tests/test_pipeline_e2e.py::test_wide_ids_equivalent).
     - content_sha  : sha2(content, 256) — per-row invariant vs the source table
     - tokens       : lowercased word tokens (array<string>)
     - n_tokens     : token count
     """
+    if id_bits not in (64, 128):
+        raise ValueError("id_bits must be 64 or 128")
     out = files
     if "file_id" not in files.columns:
         out = out.withColumn(
@@ -105,8 +113,16 @@ def normalize_files(files: DataFrame, content_col: str = "content") -> DataFrame
         )
     if "content_sha" not in files.columns:
         out = out.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+    fid = (
+        F.xxhash64("file_id")
+        if id_bits == 64
+        else F.struct(
+            F.xxhash64("file_id").alias("h1"),
+            F.xxhash64(F.lit("fid2"), F.col("file_id")).alias("h2"),
+        )
+    )
     return (
-        out.withColumn("fid", F.xxhash64("file_id"))
+        out.withColumn("fid", fid)
         .withColumn("tokens", tokenize(F.col(content_col)))
         .withColumn("n_tokens", F.size("tokens"))
     )

@@ -61,6 +61,9 @@ class PipelineConfig:
     refine_coherence_tau: float = 0.99
     refine_edge_tau: float = 0.95
     refine_min_size: int = 3
+    # 64 = int64 surrogate ids (default); 128 = struct<h1,h2> dual-hash ids
+    # for 10^12-file scale (collision n²/2¹²⁹)
+    id_bits: int = 64
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -167,7 +170,9 @@ class Pipeline:
         cfg = self.config
         self._input_fp = self.input_fingerprint(files)
 
-        norm = self._stage("s1_normalized", lambda: normalize_files(files))
+        norm = self._stage(
+            "s1_normalized", lambda: normalize_files(files, id_bits=cfg.id_bits)
+        )
         if stop_after == "s1_normalized":
             return None
 

@@ -142,6 +142,26 @@ def test_labeled_pair_f1_gate_hardened(spark):
     assert 0.99 <= m["f1"] < 1.0, m
 
 
+def test_wide_ids_equivalent(run, spark, truth_df, tmp_path_factory):
+    """id_bits=128 (struct<h1,h2> surrogate ids, the 10^12-file-scale
+    option) must produce byte-identical clusters to the 64-bit default —
+    struct keys flow through every join/window/least/greatest unchanged."""
+    work = tmp_path_factory.mktemp("pipeline_wide")
+    files = repo_files(truth_df)
+    wide = Pipeline(spark, work, PipelineConfig(tau=0.5, id_bits=128)).run(files)
+    a = run["clusters"]  # 64-bit ids; both outputs are (file_id, cluster-min)
+    # cluster ids differ (different surrogate space) but the PARTITION of
+    # file_ids into clusters must be identical
+    def partition_sig(df):
+        return {
+            tuple(sorted(r["members"]))
+            for r in df.groupBy("cluster_id")
+            .agg(F.collect_list("file_id").alias("members"))
+            .collect()
+        }
+    assert partition_sig(a) == partition_sig(wide)
+
+
 def test_input_change_invalidates_checkpoint(spark, truth_df, tmp_path_factory):
     """ADVICE fix: rerunning the same workdir with CHANGED input must not
     silently reuse checkpoints computed from the old data."""
