@@ -452,9 +452,9 @@ def _q30_er_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q27_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal: binary payload → mapInPandas decode + feature extraction.
-    Image (BMP) and audio (PCM WAV) decode is REAL pure-numpy parsing of
-    real synthesized payloads; video remains a marked stub (no container
-    parser without codec libs). Rows-only: gated by
+    All three modalities decode for REAL in pure numpy (BMP images, PCM-WAV
+    audio, uncompressed-AVI video with frame sampling + temporal pooling)
+    over real synthesized payloads. Rows-only: gated by
     test_bmp_wav_codec_roundtrip + test_media_features_reflect_real_decode."""
     from record_matching_spark.functions.multimodal import extract_media_features, synth_media
 

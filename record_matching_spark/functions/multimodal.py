@@ -1,19 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, decoded and featurized inside Arrow-batched mapInPandas.
 
-Round 2: image (BMP, 24-bit uncompressed) and audio (WAV, 16-bit PCM)
-decode is REAL — pure-numpy header parsing + pixel/sample extraction, no
-codec libraries needed (none exist in this container). Compressed codecs
-(PNG/JPEG/H.264…) would slot into the same kernels on a cluster with the
-libraries installed; `video` decode stays a clearly-marked deterministic
-stub (no container parser in pure numpy), guarded by NotImplementedError
-for unknown kinds. The synthetic generator emits REAL BMP/WAV bytes so the
-decode path is tested end-to-end, not plumbing-only.
+Round 2: ALL THREE modalities decode for real, pure numpy, no codec
+libraries (none exist in this container):
+- image: 24-bit uncompressed BMP (header parse + pixel rows)
+- audio: 16-bit PCM WAV (RIFF chunk walk + sample extraction)
+- video: uncompressed AVI (RIFF 'AVI ' container walk, raw DIB '00db'
+  frames) with evenly-spaced frame sampling + temporal pooling
+Compressed codecs (PNG/JPEG/H.264…) would slot into the same kernels on a
+cluster with the libraries installed; unknown kinds raise. The synthetic
+generator emits REAL BMP/WAV/AVI bytes so every decode path is tested
+end-to-end, not plumbing-only.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -107,6 +108,85 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ------------------------------------------------------------ feature kernels
 
 
+def _dib_frame(pixels: np.ndarray) -> bytes:
+    """One uncompressed bottom-up BGR DIB frame (the '00db' chunk payload
+    of an uncompressed AVI)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    bgr = pixels[:, :, ::-1]
+    pad = b"\x00" * (row_size - w * 3)
+    return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI (RIFF 'AVI ': hdrl with avih+strl, movi with
+    raw '00db' DIB frames). Real container layout — any standard AVI reader
+    parses it; no compression, pure numpy."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    row_size = (w * 3 + 3) & ~3
+    frame_bytes = row_size * h
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(four: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", four + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes,
+        0xFFFFFFFF, 0, 0,
+    ) + struct.pack("<HHHH", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_frame(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """Minimal uncompressed-AVI decoder → (RGB frames, fps). Walks the RIFF
+    tree: dims from the strf BITMAPINFOHEADER, rate from strh, frames from
+    the movi '00db' chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            data0 = pos + 8
+            if cid == b"LIST":
+                walk(data0 + 4, data0 + size)
+            elif cid == b"strf":
+                w = struct.unpack_from("<i", payload, data0 + 4)[0]
+                h = struct.unpack_from("<i", payload, data0 + 8)[0]
+            elif cid == b"strh" and payload[data0:data0 + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", payload, data0 + 20)
+                fps = rate // max(scale, 1)
+            elif cid == b"00db" and w and h:
+                row_size = (w * 3 + 3) & ~3
+                buf = np.frombuffer(payload, dtype=np.uint8,
+                                    count=row_size * abs(h), offset=data0)
+                rows = buf.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+                frames.append(rows[::-1, :, ::-1] if h > 0 else rows[:, :, ::-1])
+            pos = data0 + size + (size & 1)
+
+    walk(12, len(payload))
+    return frames, fps
+
+
 def _image_features(payload: bytes) -> np.ndarray:
     """BMP → [w, h, per-channel mean/std (÷255), 4-bin luminance histogram,
     edge energy, 0-pad] — deterministic, _FEATURE_DIM floats."""
@@ -144,14 +224,36 @@ def _audio_features(payload: bytes) -> np.ndarray:
     return np.pad(f, (0, _FEATURE_DIM - len(f)))[:_FEATURE_DIM]
 
 
-def _video_features_stub(payload: bytes) -> np.ndarray:
-    """STUB: no container/codec parser exists in pure numpy — deterministic
-    digest-seeded vector marks the slot a real ffmpeg frame-sampler would
-    fill (frame-sample → per-frame _image_features → temporal pooling)."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.rand(_FEATURE_DIM).astype(np.float32)
+_FRAME_SAMPLE = 8
+
+
+def _video_features(payload: bytes) -> np.ndarray:
+    """AVI → frame-sample (up to _FRAME_SAMPLE evenly-spaced frames) →
+    per-frame luminance stats → temporal pooling:
+    [w, h, n_frames, fps, mean/std of per-frame mean-lum, mean of per-frame
+    std-lum, mean |frame-to-frame delta|, 0-pad]. Real container parsing +
+    real pixels; compressed codecs (H.264…) would slot in here on a
+    cluster with the codec libraries."""
+    frames, fps = decode_avi(payload)
+    if not frames:
+        raise ValueError("AVI contained no frames")
+    h, w, _ = frames[0].shape
+    idx = np.linspace(0, len(frames) - 1, min(_FRAME_SAMPLE, len(frames)))
+    sample = [frames[int(i)] for i in idx]
+    lums = [f.astype(np.float64).mean(axis=2) for f in sample]
+    means = np.array([x.mean() for x in lums])
+    stds = np.array([x.std() for x in lums])
+    motion = (
+        float(np.mean([np.abs(b - a).mean() for a, b in zip(lums, lums[1:])]))
+        if len(lums) > 1 else 0.0
+    )
+    f = np.array(
+        [w, h, len(frames), fps,
+         means.mean() / 255.0, means.std() / 255.0,
+         stds.mean() / 255.0, motion / 255.0],
+        dtype=np.float32,
+    )
+    return np.pad(f, (0, _FEATURE_DIM - len(f)))[:_FEATURE_DIM]
 
 
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
@@ -160,7 +262,7 @@ def _decode_features(payload: bytes, kind: str) -> np.ndarray:
     if kind == "audio":
         return _audio_features(payload)
     if kind == "video":
-        return _video_features_stub(payload)
+        return _video_features(payload)
     raise NotImplementedError(f"no decoder for kind={kind!r}")
 
 
@@ -246,9 +348,14 @@ def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
             meta = {"width": None, "height": None, "sample_rate": sr,
                     "n_frames": len(samples), "codec": "pcm16"}
         else:
-            digest = hashlib.sha256(f"media:{seed}:{i}".encode()).digest()
-            payload = digest * (4 + i % 7)
-            meta = {"width": 640, "height": 480, "sample_rate": None,
-                    "n_frames": 120, "codec": "h264"}
+            w, h = 8 + i % 5, 6 + i % 3
+            n_frames = 4 + i % 5
+            frames = [
+                rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_avi(frames, fps=10)
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "n_frames": n_frames, "codec": "avi-dib"}
         rows.append((f"m{i:05d}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -182,6 +182,14 @@ def test_bmp_wav_codec_roundtrip():
     back, sr = decode_wav(encode_wav(samples, 8000))
     assert sr == 8000 and np.array_equal(back, samples)
 
+    from record_matching_spark.functions.multimodal import decode_avi, encode_avi
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8) for _ in range(4)]
+    got, fps = decode_avi(encode_avi(frames, fps=12))
+    assert fps == 12 and len(got) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+
 
 def test_media_features_reflect_real_decode(spark):
     """Image features carry the true pixel dims; audio features carry the
@@ -199,6 +207,10 @@ def test_media_features_reflect_real_decode(spark):
             assert int(f[0] * 1000) == meta["sample_rate"]
             assert int(f[1]) == meta["n_frames"]
             assert f[2] > 0.1  # sine wave has real RMS energy
+        elif kind == "video":
+            assert (int(f[0]), int(f[1])) == (meta["width"], meta["height"])
+            assert int(f[2]) == meta["n_frames"]
+            assert int(f[3]) == 10  # encoded fps
     thumbs = resize_image_features(media, 4, 4).collect()
     assert len(thumbs) == sum(1 for k, _ in metas.values() if k == "image")
     assert all(len(t["thumb"]) == 16 for t in thumbs)
