@@ -126,6 +126,10 @@ def cosine_topk_tiled(
     compute is inherent to exact all-pairs; lsh_cosine_topk is the
     sub-quadratic path. Self-matches excluded; ties by neighbor id."""
     qid = query_id_col or id_col
+    # derive the output id types from the inputs (string ids work too —
+    # ADVICE fix: the schema was hardcoded to long)
+    q_id_t = dict(queries.dtypes)[qid]
+    c_id_t = dict(corpus.dtypes)[id_col]
     q_rep = (
         queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("qb", F.pmod(F.xxhash64("query_id"), F.lit(q_tiles)).cast("int"))
@@ -161,7 +165,10 @@ def cosine_topk_tiled(
     partials = (
         q_rep.groupBy("qb", "cb")
         .cogroup(c_rep.groupBy("qb", "cb"))
-        .applyInPandas(tile_topk, schema="query_id long, neighbor_id long, _cos double")
+        .applyInPandas(
+            tile_topk,
+            schema=f"query_id {q_id_t}, neighbor_id {c_id_t}, _cos double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
@@ -222,19 +229,23 @@ def hyperplane_buckets(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(n_tables, bits, dim, seed)
+    # (tables*bits, dim) so the whole Arrow batch projects in ONE matmul
+    planes_flat = planes.reshape(n_tables * bits, dim)
+    pow2 = 1 << np.arange(bits, dtype=np.int64)
+    table_tag = np.arange(n_tables, dtype=np.int64) << np.int64(bits + 1)
 
     @F.pandas_udf(ArrayType(LongType()))
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        out = []
-        pow2 = (1 << np.arange(bits, dtype=np.int64))
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            # (tables, bits) projections
-            proj = planes @ x
-            codes = ((proj > 0).astype(np.int64) * pow2[None, :]).sum(axis=1)
-            # pack table index into the bucket id
-            out.append((codes + (np.arange(n_tables, dtype=np.int64) << np.int64(bits + 1))))
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        # stack the batch: one (batch, tables*bits) matmul instead of a
+        # per-row matvec loop (VERDICT r2: the ANN hot-path fix the scoring
+        # kernel already got)
+        x = np.array(list(vecs), dtype=np.float64)  # (batch, dim)
+        proj = x @ planes_flat.T  # (batch, tables*bits)
+        signs = (proj > 0).astype(np.int64).reshape(len(x), n_tables, bits)
+        codes = (signs * pow2[None, None, :]).sum(axis=2) + table_tag[None, :]
+        return pd.Series(list(codes))
 
     return df.select(
         F.col(id_col), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
@@ -291,13 +302,16 @@ def ivf_cosine_topk(
     @F.pandas_udf(ArrayType(LongType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
         c = bc.value
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            x = x / (np.linalg.norm(x) + _EPS)
-            d = ((c - x) ** 2).sum(axis=1)
-            out.append(np.argsort(d)[:n_probe_eff].astype(np.int64))
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        # batch matmul: ||c - x||² = ||c||² - 2c·x + const(x); the per-row
+        # constant doesn't change each row's cell ordering, so one
+        # (batch, n_cells) matmul replaces the per-row distance loop
+        x = np.array(list(vecs), dtype=np.float64)  # (batch, dim)
+        x /= np.linalg.norm(x, axis=1, keepdims=True) + _EPS
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)  # (batch, cells)
+        cells = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff].astype(np.int64)
+        return pd.Series(list(cells))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -341,8 +355,13 @@ def lsh_cosine_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # NO broadcast hint on either vector attach: in self-ANN usage the
+    # "queries" ARE the corpus, so a forced broadcast would ship a
+    # corpus-sized build to every executor (VERDICT r2 item 1). Both joins
+    # shuffle on an int64 id; AQE still broadcasts a genuinely small query
+    # table on its own.
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
     )

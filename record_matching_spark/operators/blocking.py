@@ -21,10 +21,98 @@ tests/test_blocking.py::test_salting_pair_set_equivalence).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from record_matching_spark.operators.minhash import minhash_bands, with_minhash_signature
+
+
+def duplicate_key_bitmap(
+    blocks: DataFrame, key_col: str = "block_key", log2_slots: int = 24
+) -> tuple:
+    """Approximate membership structure for 'this block key occurs ≥ 2
+    times': a packed bitmap over 2^log2_slots hash slots (slot = key's low
+    bits — keys are xxhash64 outputs, so low bits are uniform).
+
+    Built in one map-only pass (mapInArrow): each partition emits its
+    distinct slots split into seen-once / seen-twice lists (sparse — ~4
+    bytes per row, not a dense counter array); the driver unions the
+    twice-lists with slots seen once in ≥ 2 partitions. CONSERVATIVE by
+    construction: a slot collision keeps a singleton band (false positive),
+    never drops a true duplicate — so filtering on the bitmap provably
+    preserves the candidate-pair set (the exact census downstream is
+    unchanged). Scale regime: driver traffic is ~4 bytes per block row;
+    size log2_slots so the slot load factor stays ≪ 1, and skip the
+    prefilter entirely (None) at row counts where that's impossible — the
+    census filter alone is always correct.
+
+    Returns (bitmap: np.ndarray[uint8] packed bits, log2_slots)."""
+    n_slots = 1 << log2_slots
+    mask = np.uint64(n_slots - 1)
+
+    def sketch(batches):
+        import pyarrow as pa
+
+        slots_parts = []
+        for rb in batches:
+            h = rb.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            slots_parts.append((h & mask).astype(np.int64))
+        if slots_parts:
+            slots = np.concatenate(slots_parts)
+            uniq, counts = np.unique(slots, return_counts=True)
+            ones = uniq[counts == 1]
+            twos = uniq[counts >= 2]
+        else:
+            ones = twos = np.empty(0, dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([ones.tolist()]), pa.array([twos.tolist()])],
+            names=["ones", "twos"],
+        )
+
+    rows = (
+        blocks.select(F.col(key_col))
+        .mapInArrow(sketch, schema="ones array<long>, twos array<long>")
+        .collect()
+    )
+    ones_all = np.concatenate(
+        [np.asarray(r["ones"], dtype=np.int64) for r in rows]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    twos_all = np.concatenate(
+        [np.asarray(r["twos"], dtype=np.int64) for r in rows]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    uniq, counts = np.unique(ones_all, return_counts=True)
+    dup_slots = np.union1d(uniq[counts >= 2], np.unique(twos_all))
+    bits = np.zeros(n_slots, dtype=bool)
+    bits[dup_slots] = True
+    return np.packbits(bits), log2_slots
+
+
+def filter_blocks_by_bitmap(
+    blocks: DataFrame, bitmap: np.ndarray, log2_slots: int,
+    key_col: str = "block_key",
+) -> DataFrame:
+    """Drop rows whose key slot is not marked in the bitmap (definitely-
+    singleton bands) BEFORE the blocking shuffle — the bloom-style band
+    prefilter (VERDICT r2 item 3). The bitmap rides to executors as a
+    broadcast variable (n_slots/8 bytes); the test is a vectorized numpy
+    gather per Arrow batch."""
+    mask = np.uint64((1 << log2_slots) - 1)
+    bc = blocks.sparkSession.sparkContext.broadcast(bitmap)
+    names = blocks.columns
+    key_idx = names.index(key_col)
+
+    def keep(batches):
+        bm = bc.value
+        for rb in batches:
+            h = rb.column(key_idx).to_numpy(zero_copy_only=False).astype(np.uint64)
+            slots = (h & mask).astype(np.int64)
+            hit = (bm[slots >> 3] >> (7 - (slots & 7).astype(np.uint8))) & 1
+            yield rb.filter(hit.astype(bool))
+
+    return blocks.mapInArrow(keep, schema=blocks.schema)
 
 
 def token_sorted_key(tokens_col: str = "tokens", first_k: int = 24) -> F.Column:
@@ -100,6 +188,7 @@ def candidate_pairs(
     dedup: bool = True,
     keep_block_key: bool = True,
     persist_blocks: bool = True,
+    prefilter_log2_slots: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a (id, block_key) table.
 
@@ -119,7 +208,28 @@ def candidate_pairs(
     raw pair stream is returned (a pair may repeat, once per shared block) —
     cheaper when a downstream filter shrinks the stream before its own
     dedup (verify-then-dedup, see functions/dedup.py).
+
+    prefilter_log2_slots: when set, a duplicate_key_bitmap pass prunes
+    definitely-singleton band rows BEFORE the blocking shuffle (most band
+    keys are unique, so the dominant (id, key) exchange shrinks by the
+    singleton fraction minus the bitmap's false-positive rate). Pair set
+    provably unchanged (tests/test_blocking.py::
+    test_prefilter_pair_set_equivalence); the exact census still runs.
+    Costs one extra map-only scan of `blocks` — callers should pass
+    materialized blocks (the pipeline's parquet stage / the dedup path's
+    localCheckpoint already do).
     """
+    if prefilter_log2_slots is not None:
+        if persist_blocks:
+            # materialize BEFORE the sketch pass so the sketch scan and the
+            # real pass don't each re-run the upstream signature UDFs; the
+            # post-census checkpoint below still happens (the self-join
+            # scans the much smaller censused b twice)
+            blocks = blocks.localCheckpoint(eager=True)
+        bitmap, lg = duplicate_key_bitmap(
+            blocks, key_col="block_key", log2_slots=prefilter_log2_slots
+        )
+        blocks = filter_blocks_by_bitmap(blocks, bitmap, lg, key_col="block_key")
     # repartition FIRST so the census window reuses the same hash
     # partitioning instead of shuffling twice (one exchange total).
     # The partition COUNT is explicit: the pair self-join EXPLODES row

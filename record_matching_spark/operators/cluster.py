@@ -13,14 +13,25 @@ Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
 until the edge set reaches a fixpoint; converges in O(log n) rounds and
 leaves a star forest where every node points at its component minimum.
 
-Each iteration is two shuffles (groupBy min + join); lineage is truncated
-with localCheckpoint every round (iterative self-joins otherwise double the
-plan each iteration — SURVEY.md §7.4 risk 3).
+Round-cost design (round-3 rework, VERDICT r2 item 2):
+- each star op is ONE window aggregation over a single hash exchange on
+  `src` (min — and for small-star row_number — share the same window
+  partitioning) plus the distinct's exchange: 2 shuffles per star, 4 per
+  round, vs 6 for the round-2 groupBy+join+distinct form;
+- the convergence fingerprint rides the SAME action that materializes the
+  per-round localCheckpoint (`df.observe` + eager checkpoint), so the
+  extra full pass per round that _fingerprint() used to cost is gone;
+- lineage is truncated with localCheckpoint every round (iterative
+  self-joins otherwise double the plan each iteration — SURVEY.md §7.4
+  risk 3). localCheckpoint stores partitions non-replicated: on a
+  multi-node cluster an executor loss fails the job (acceptable for an
+  iterative loop this cheap to restart; a deployment that wants
+  fault-tolerant rounds can swap in reliable checkpoint(), same contract).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -41,11 +52,13 @@ def _symmetrize(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    """large-star as ONE window over src (no groupBy+join): every neighbor
+    dst > src attaches to m = min(N(src) ∪ {src}). Output is canonical
+    (src > dst) by construction since m ≤ src < dst."""
     nbrs = _symmetrize(e)
-    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
-    mins = mins.select("src", F.least("mn", "src").alias("m"))
+    w = Window.partitionBy("src")
     return (
-        nbrs.join(mins, "src")
+        nbrs.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -54,24 +67,53 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    # canonical src > dst: N⁻(src) = all dst. m = min over smaller nbrs (≤ src by construction)
-    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
-    attach_nbrs = (
-        e.join(mins, "src")
-        .filter(F.col("dst") != F.col("m"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    """small-star as ONE window over src: with e canonical (src > dst),
+    N⁻(src) = all dst ≤ src; attach every dst ≠ m to m = min(N⁻(src)) and
+    the center src to m (emitted once, on the row_number()==1 row — the
+    row_number shares the min's window exchange)."""
+    wp = Window.partitionBy("src")
+    ws = wp.orderBy("dst")
+    st = e.select(
+        "src",
+        "dst",
+        F.min("dst").over(wp).alias("m"),
+        F.row_number().over(ws).alias("rn"),
     )
-    attach_center = mins.select("src", F.col("m").alias("dst"))
-    return _canon(attach_nbrs.unionByName(attach_center))
+    # emit [ (dst→m) if dst≠m, (src→m) if first row of the partition ] via
+    # one filtered array explode — no union (a union would re-run the window
+    # subplan or force a second exchange)
+    arr = F.array(
+        F.struct(
+            F.col("dst").alias("a"),
+            F.col("m").alias("b"),
+            (F.col("dst") != F.col("m")).alias("keep"),
+        ),
+        F.struct(
+            F.col("src").alias("a"),
+            F.col("m").alias("b"),
+            (F.col("rn") == 1).alias("keep"),
+        ),
+    )
+    out = st.select(
+        F.explode(F.filter(arr, lambda x: x["keep"])).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    return _canon(out)
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int, int]:
-    row = e.agg(
-        F.count("*").alias("n"),
+def _fingerprint(e: DataFrame) -> tuple:
+    """Order-insensitive identity of an edge set (count + two independent
+    hash sums). Standalone form — the CC loop folds the same aggregates
+    into the checkpoint action via observe() instead of calling this."""
+    row = e.agg(*_fp_aggs()).collect()[0]
+    return (row["n"], str(row["h1"]), str(row["h2"]))
+
+
+def _fp_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
         F.sum(F.xxhash64("dst", "src", F.lit("s2")).cast("decimal(38,0)")).alias("h2"),
-    ).collect()[0]
-    return (row["n"], str(row["h1"]), str(row["h2"]))
+    ]
 
 
 def connected_components(
@@ -87,12 +129,16 @@ def connected_components(
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
     prev_fp = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         e = _large_star(e)
         e = _small_star(e)
-        e = e.localCheckpoint(eager=True)
-        fp = _fingerprint(e)
-        if fp == prev_fp:
+        # fingerprint rides the checkpoint's materialization action —
+        # no separate pass over the edge set per round (VERDICT r2 item 2)
+        obs = Observation(f"cc_fp_{i}")
+        e = e.observe(obs, *_fp_aggs()).localCheckpoint(eager=True)
+        row = obs.get
+        fp = (row["n"], str(row["h1"]), str(row["h2"]))
+        if fp == prev_fp or row["n"] == 0:  # empty edge set is a fixpoint
             break
         prev_fp = fp
     else:

@@ -53,13 +53,14 @@ def with_minhash_signature(
     """Append `out_col: array<long>` — the MinHash signature of the distinct
     tokens in `tokens_col`.
 
-    Empty token sets get a per-row UNIQUE sentinel signature seeded from
-    `uniq_col` (an id column) so that two different empty-token documents
-    never share an LSH block — identical-content pairs are still caught by
-    the content-sha blocking key (ADVICE fix: previously all empty docs
-    shared one all--1 sentinel and were declared near-duplicates of each
-    other). Without `uniq_col` the shared all--1 sentinel is kept (callers
-    that pre-filter empty docs)."""
+    Empty token sets get a per-row UNIQUE sentinel signature with EVERY
+    position derived from xxhash64(uniq_col) via a splitmix step, so no
+    band slice — hence no LSH block key — can match across two different
+    empty-token documents (round-2 uniquified only position 0, leaving
+    bands 1..n-1 shared; ADVICE r2 medium). Identical-content pairs are
+    still caught by the content-sha blocking key. Without `uniq_col` all
+    empty docs share one fixed sentinel (callers that pre-filter empty
+    docs)."""
     a_tab, b_tab = _perm_table(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -69,9 +70,17 @@ def with_minhash_signature(
         out = []
         for arr, u in zip(token_hashes, uniq):
             if arr is None or len(arr) == 0:
-                sentinel = np.full(num_hashes, -1, dtype=np.int64)
-                sentinel[0] = np.int64(u)
-                out.append(sentinel)
+                # EVERY position derives from the per-row uniq hash (splitmix
+                # step per index): a sentinel that uniquified only position 0
+                # left bands 1..n-1 as identical slices across all empty
+                # docs, so they still shared n-1 LSH block keys (ADVICE r2
+                # medium). With all positions unique, no band slice can match
+                # across two different empty docs.
+                idx = np.arange(1, num_hashes + 1, dtype=np.uint64)
+                s = np.uint64(u) + idx * np.uint64(0x9E3779B97F4A7C15)
+                s = (s ^ (s >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                s = (s ^ (s >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                out.append((s ^ (s >> np.uint64(31))).astype(np.int64))
                 continue
             h = (
                 np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]

@@ -64,6 +64,10 @@ class PipelineConfig:
     # 64 = int64 surrogate ids (default); 128 = struct<h1,h2> dual-hash ids
     # for 10^12-file scale (collision n²/2¹²⁹)
     id_bits: int = 64
+    # bloom-style band prefilter: prune definitely-singleton band rows
+    # before the s4 blocking shuffle (pair set provably unchanged). None =
+    # off; e.g. 24 = 2^24 bitmap slots. Size so slot load stays ≪ 1.
+    band_prefilter_log2: int | None = None
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -118,11 +122,13 @@ class Pipeline:
             m = json.loads(mf.read_text())
         except json.JSONDecodeError:
             return False
-        return (
-            m.get("complete")
-            and m.get("config") == self.config.fingerprint()
-            and m.get("input_fp") == self._input_fp
-        )
+        if not (m.get("complete") and m.get("config") == self.config.fingerprint()):
+            return False
+        # _input_fp is None until run() computes it; a freshly constructed
+        # Pipeline inspecting an existing workdir (register_pipeline_views)
+        # must still see completed stages (ADVICE r2 fix). run() always sets
+        # the fingerprint before staging, so resume invalidation is intact.
+        return self._input_fp is None or m.get("input_fp") == self._input_fp
 
     def _write_stage(self, stage: str, df: DataFrame) -> DataFrame:
         """Materialize a stage: parquet + manifest with per-partition lineage."""
@@ -202,6 +208,7 @@ class Pipeline:
             lambda: candidate_pairs(
                 blocks, id_col="fid", salt_cap=cfg.salt_cap, drop_cap=cfg.drop_cap,
                 persist_blocks=False,  # blocks already parquet-materialized
+                prefilter_log2_slots=cfg.band_prefilter_log2,
             ),
         )
         if stop_after == "s4_pairs":
