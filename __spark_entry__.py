@@ -359,6 +359,23 @@ def _q28_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     return canon.select("cluster_id", "doc_id", "cluster_size")
 
 
+def _q35_canonical_fields(spark: SparkSession, sf: str) -> DataFrame:
+    """B16 field-frequency aggregation: each cluster's canonical field value
+    is the most frequent among members, ties to the lowest value
+    (reference claude_poc_v2:2100-2206 — the canonical entity aggregates
+    fields across members, not just one representative row). One hash
+    aggregate via mode(col, deterministic=true)."""
+    from record_matching_spark.operators.canonical import canonical_fields
+
+    d = _read(spark, sf, "documents")
+    clusters = d.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("lang")).alias("cluster_id")
+    )
+    return canonical_fields(
+        clusters, d, fields=["source", "n_chars"], id_col="doc_id"
+    ).select("cluster_id", "cluster_size", "source", "n_chars")
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 
 
@@ -498,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_hash_split": _q32_hash_split,
         "q33_quota_sample": _q33_quota_sample,
         "q34_ivf_topk": _q34_ivf_topk,
+        "q35_canonical_fields": _q35_canonical_fields,
     }
 
 
@@ -764,5 +782,24 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents)
             WHERE rn = 1
+        """,
+        "q35_canonical_fields": """
+            WITH c AS (SELECT min(doc_id) OVER (PARTITION BY lang) AS cluster_id,
+                              source, n_chars
+                       FROM documents),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM c GROUP BY cluster_id),
+            m1 AS (SELECT cluster_id, source FROM (
+                       SELECT cluster_id, source,
+                              row_number() OVER (PARTITION BY cluster_id
+                                                 ORDER BY count(*) DESC, source ASC) AS rn
+                       FROM c GROUP BY cluster_id, source) WHERE rn = 1),
+            m2 AS (SELECT cluster_id, n_chars FROM (
+                       SELECT cluster_id, n_chars,
+                              row_number() OVER (PARTITION BY cluster_id
+                                                 ORDER BY count(*) DESC, n_chars ASC) AS rn
+                       FROM c GROUP BY cluster_id, n_chars) WHERE rn = 1)
+            SELECT sz.cluster_id, sz.cluster_size, m1.source, m2.n_chars
+            FROM sz JOIN m1 USING (cluster_id) JOIN m2 USING (cluster_id)
         """,
     }

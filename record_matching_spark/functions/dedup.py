@@ -143,13 +143,22 @@ def minhash_near_dup_pairs(
     # sizes. localCheckpoint (not persist): auto-released when the plan is
     # GC'd instead of pinning executor storage for the session (ADVICE fix);
     # the staged pipeline gets the same effect from its parquet checkpoint.
+    # The corpus row count rides the SAME materialization action via
+    # observe() — every doc emits exactly num_bands band rows + 1
+    # content-sha row, so n_docs = n_block_rows/(num_bands+1) and the join
+    # strategy needs NO separate count job (VERDICT r2 item 5).
+    from pyspark.sql import Observation
+
+    obs = Observation("dedup_blocks_n")
+    blocks = blocks.observe(obs, F.count(F.lit(1)).alias("n"))
     blocks = blocks.localCheckpoint(eager=True)
     if not verify_exact:
         return candidate_pairs(blocks, id_col="_id", salt_cap=salt_cap).select(
             "left", "right"
         )
     if broadcast_features is None:
-        broadcast_features = df.count() <= 200_000
+        n_docs = obs.get["n"] / (num_bands + 1)
+        broadcast_features = n_docs <= 200_000
     # verify on xxhash64'd token arrays: long-array intersect/union is ~9×
     # cheaper than string arrays and Jaccard is unchanged (a 64-bit collision
     # inside one pair's ~100-token union has probability ~1e-16)

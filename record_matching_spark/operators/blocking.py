@@ -256,9 +256,14 @@ def candidate_pairs(
         # planned blind. localCheckpoint (not persist): the blocks are
         # auto-released by the ContextCleaner when the returned plan is
         # GC'd — an explicit persist would pin executor storage memory for
-        # the session's lifetime (ADVICE fix). Callers that already
-        # checkpointed blocks to storage (the staged pipeline) pass
-        # persist_blocks=False.
+        # the session's lifetime (ADVICE fix). FAULT-TOLERANCE TRADEOFF
+        # (ADVICE r2): localCheckpoint truncates lineage and stores
+        # partitions non-replicated, so on a multi-node cluster an executor
+        # loss mid-stage fails the job instead of recomputing. Long cluster
+        # runs that need executor-loss recovery should pass
+        # persist_blocks=False and materialize blocks to reliable storage
+        # themselves (the staged pipeline's parquet checkpoint does exactly
+        # this, pipeline.py s3_blocks).
         b = b.localCheckpoint(eager=True)
 
     a_side = b.withColumn(

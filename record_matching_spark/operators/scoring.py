@@ -23,6 +23,8 @@ Feature vector (per candidate pair):
   jw_path    — Jaro-Winkler on file paths          (memoized, in the kernel)
   same_lang  — language equality                                (Catalyst)
   dir_sim    — path-directory token Jaccard                     (Catalyst)
+  any_empty  — either side has no tokens (B21 imputation flag)  (Catalyst)
+  both_empty — both sides have no tokens (B21 imputation flag)  (Catalyst)
 """
 
 from __future__ import annotations
@@ -45,7 +47,17 @@ from pyspark.sql.types import DoubleType
 # (/root/reference/claude_poc_v2/vector_enhanced_entity_resolution_v2.py:
 # 803-915); here the analogs are language match and path-directory overlap,
 # both pure when/otherwise Catalyst.
-FEATURES = ["jaccard", "tfidf_cos", "lev_sig", "jw_path", "same_lang", "dir_sim"]
+#
+# any_empty / both_empty are the B21 imputation-flag features — the
+# reference feeds is_original-vs-imputed booleans into the classifier
+# (/root/reference/record_matching/main.py:394-405, claude_poc/
+# entity-resolution_v4.py:358-490); the engine's imputation analog is the
+# empty-token sentinel path, so the flags mark pairs where one/both sides
+# carry no token evidence (their jaccard/tfidf/lev are all sentinel-valued
+# and the classifier should discount them). Default weights 0.0: inert
+# until trained (ablation row in BENCH.md).
+FEATURES = ["jaccard", "tfidf_cos", "lev_sig", "jw_path", "same_lang", "dir_sim",
+            "any_empty", "both_empty"]
 
 # fallback weights (logistic) — replaced by train_weights() output when
 # labeled pairs are available. Chosen so each feature contributes comparably
@@ -58,6 +70,8 @@ DEFAULT_WEIGHTS: dict[str, float] = {
     "jw_path": 2.0,
     "same_lang": 1.0,
     "dir_sim": 1.0,
+    "any_empty": 0.0,
+    "both_empty": 0.0,
 }
 
 # sorted distinct tokens joined into the levenshtein signature. Kept short:
@@ -70,6 +84,14 @@ DEFAULT_WEIGHTS: dict[str, float] = {
 _SIG_TOKENS = 12
 _SIG_CHARS = 96
 _LEV_THRESHOLD = _SIG_CHARS // 2
+
+# broadcast budget for the per-distinct-content feature table: measured
+# payload ≈ 1 KB/row (int32 tid + float32 tw arrays + 96-char sig). The
+# default 256 MB cap targets the smallest executors a mixed cluster is
+# likely to run (VERDICT r2 item 5: a forced 500 MB broadcast can OOM small
+# executors); deployments with fat executors can raise it per call.
+_FEATURE_ROW_BYTES = 1024
+DEFAULT_BROADCAST_BUDGET_BYTES = 256 << 20
 
 
 # ---------------------------------------------------------------- features
@@ -224,7 +246,9 @@ def _feature_kernel(key_cols: tuple[str, str], with_paths: bool):
     pandas_udf on the same batch stream (round-2 profiling)."""
     import pyarrow as pa
 
-    pass_cols = ["lev_sig"] + (["same_lang", "dir_sim"] if with_paths else [])
+    pass_cols = ["lev_sig", "any_empty", "both_empty"] + (
+        ["same_lang", "dir_sim"] if with_paths else []
+    )
 
     def kernel(batches):
         for rb in batches:
@@ -350,6 +374,7 @@ def pair_features(
     id_col: str = "file_id",
     dedup_content: bool | None = None,
     broadcast_features: bool | None = None,
+    broadcast_budget_bytes: int = DEFAULT_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Featurize candidate pairs (left/right are values of `id_col` —
     pass id_col="fid" for the compact-surrogate pipeline path).
@@ -393,14 +418,16 @@ def pair_features(
         if dedup_content is None:
             dedup_content = n_files > 1.3 * n_shas
         if broadcast_features is None:
-            # ~1 KB/row payload → broadcast up to ~500 MB of features. The
+            # byte-budgeted broadcast decision (~1 KB/row measured). The
             # candidate-pair stream is 50-1000× the feature table, so
             # broadcasting turns BOTH attach joins into shuffle-free
             # broadcast-hash joins (vs sort-merge shuffling pair_count × 2 KB
-            # — the round-1 scoring stage's hidden cost). Above the cap the
-            # plan falls back to sort-merge, the correct shape when the
+            # — the round-1 scoring stage's hidden cost). Above the budget
+            # the plan falls back to sort-merge, the correct shape when the
             # distinct-content table itself is cluster-scale.
-            broadcast_features = n_shas <= 500_000
+            broadcast_features = (
+                n_shas * _FEATURE_ROW_BYTES <= broadcast_budget_bytes
+            )
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_features else df
@@ -461,6 +488,11 @@ def pair_features(
             F.col("csid").alias("csid_b"), F.col("sig").alias("sig_b"),
             F.col("tid").alias("tid_r"), F.col("tw").alias("tw_r"),
         )
+        # B21 imputation flags: an empty tid list (or a missing feature row)
+        # means the side had no tokens — its content features are sentinel
+        # values the classifier should be able to discount
+        e_a = F.coalesce(F.size("tid_l"), F.lit(0)) == 0
+        e_b = F.coalesce(F.size("tid_r"), F.lit(0)) == 0
         sha_pre = (
             sha_pairs.join(_maybe_bcast(fa), "csid_a")
             .join(_maybe_bcast(fb), "csid_b")
@@ -468,13 +500,16 @@ def pair_features(
                 "csid_a", "csid_b",
                 (F.col("csid_a") == F.col("csid_b")).alias("_same"),
                 _lev_expr("_a", "_b"),
+                (e_a | e_b).cast("double").alias("any_empty"),
+                (e_a & e_b).cast("double").alias("both_empty"),
                 "tid_l", "tw_l", "tid_r", "tw_r",
             )
         )
         sha_scored = sha_pre.mapInArrow(
             _feature_kernel(("csid_a", "csid_b"), with_paths=False),
             schema="csid_a bigint, csid_b bigint, jaccard double, "
-                   "tfidf_cos double, lev_sig double",
+                   "tfidf_cos double, lev_sig double, any_empty double, "
+                   "both_empty double",
         )
         return (
             p.join(sha_scored, ["csid_a", "csid_b"])
@@ -491,6 +526,8 @@ def pair_features(
         F.col("csid").alias("csid_r"), F.col("sig").alias("sig_r"),
         F.col("tid").alias("tid_r"), F.col("tw").alias("tw_r"),
     )
+    e_l = F.coalesce(F.size("tid_l"), F.lit(0)) == 0
+    e_r = F.coalesce(F.size("tid_r"), F.lit(0)) == 0
     pre = (
         p.join(_maybe_bcast(fa), "csid_l")
         .join(_maybe_bcast(fb), "csid_r")
@@ -498,6 +535,8 @@ def pair_features(
             "left", "right",
             (F.col("csid_l") == F.col("csid_r")).alias("_same"),
             _lev_expr("_l", "_r"),
+            (e_l | e_r).cast("double").alias("any_empty"),
+            (e_l & e_r).cast("double").alias("both_empty"),
             meta_feats["same_lang"].alias("same_lang"),
             meta_feats["dir_sim"].alias("dir_sim"),
             "path_l", "path_r", "tid_l", "tw_l", "tid_r", "tw_r",
@@ -507,8 +546,9 @@ def pair_features(
     out = pre.mapInArrow(
         _feature_kernel(("left", "right"), with_paths=True),
         schema=f"left {id_t['left']}, right {id_t['right']}, jaccard double, "
-               "tfidf_cos double, lev_sig double, same_lang double, "
-               "dir_sim double, jw_path double",
+               "tfidf_cos double, lev_sig double, any_empty double, "
+               "both_empty double, same_lang double, dir_sim double, "
+               "jw_path double",
     )
     return out.select("left", "right", *FEATURES)
 
@@ -516,23 +556,34 @@ def pair_features(
 # ----------------------------------------------------------------- scoring
 
 
-def score_pairs(feats: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
-    """score = sigmoid(w·x + b), pure Catalyst (reference: main.py:494-501)."""
+def score_pairs(
+    feats: DataFrame,
+    weights: dict[str, float] | None = None,
+    features: list[str] | None = None,
+) -> DataFrame:
+    """score = sigmoid(w·x + b), pure Catalyst (reference: main.py:494-501).
+    `features` restricts the linear term to a subset (ablation runs)."""
     w = weights or DEFAULT_WEIGHTS
     z = F.lit(float(w["intercept"]))
-    for name in FEATURES:
+    for name in features or FEATURES:
         z = z + F.lit(float(w[name])) * F.col(name)
     return feats.withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
-def train_weights(labeled_feats: DataFrame, max_iter: int = 60) -> dict[str, float]:
+def train_weights(
+    labeled_feats: DataFrame,
+    max_iter: int = 60,
+    features: list[str] | None = None,
+) -> dict[str, float]:
     """Fit logistic-regression weights on labeled featurized pairs
     (columns FEATURES + boolean `match`). Distributed via pyspark.ml —
-    replaces the reference's driver-side sklearn fit (main.py:444-486)."""
+    replaces the reference's driver-side sklearn fit (main.py:444-486).
+    `features` restricts the model to a subset (ablation runs)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    assembler = VectorAssembler(inputCols=FEATURES, outputCol="fvec")
+    feats_list = features or FEATURES
+    assembler = VectorAssembler(inputCols=feats_list, outputCol="fvec")
     train = assembler.transform(
         labeled_feats.withColumn("label", F.col("match").cast("double"))
     )
@@ -541,7 +592,7 @@ def train_weights(labeled_feats: DataFrame, max_iter: int = 60) -> dict[str, flo
     )
     model = lr.fit(train)
     out = {"intercept": float(model.intercept)}
-    for name, coef in zip(FEATURES, model.coefficients):
+    for name, coef in zip(feats_list, model.coefficients):
         out[name] = float(coef)
     return out
 
@@ -622,11 +673,23 @@ def train_random_forest_cv(
 
 def score_pairs_rf(feats: DataFrame, model) -> DataFrame:
     """Score candidate pairs with a trained RandomForest model; emits the
-    same (…, score) shape as score_pairs."""
+    same (…, score) shape as score_pairs.
+
+    Scores with a summary-free copy of the model: a freshly fit model
+    carries a training summary that holds the SparkSession, and in
+    pyspark 4.1 the session's ObservationManager (materialized by any
+    df.observe() elsewhere in the engine — the CC fixpoint and dedup join
+    strategy both use it) is not java-serializable, so transform-time
+    closure serialization can fail with `Task not serializable:
+    ObservationManager` depending on session history. model.copy() keeps
+    all params + trees but drops the summary (HasTrainingSummary is not a
+    Param), severing the session capture."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
     assembler = VectorAssembler(inputCols=FEATURES, outputCol="fvec")
+    if getattr(model, "hasSummary", False):
+        model = model.copy()
     out = model.transform(assembler.transform(feats))
     return out.withColumn(
         "score", vector_to_array("probability").getItem(1)

@@ -50,7 +50,12 @@ class PipelineConfig:
     minhash_seed: int = 1
     salt_cap: int = 1000
     drop_cap: int | None = None
-    tau: float = 0.5
+    # match threshold: a float, or "auto" → B20 data-driven discovery from
+    # the score histogram (operators/tune.py:discover_threshold — the
+    # reference's kNN-distance derivative-peak tuning, main.py:194-260,
+    # label-free). The discovered value lands in stage_metrics["s6_scores"]
+    # ["discovered_tau"] and metrics.json.
+    tau: float | str = 0.5
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     # B15 cluster refinement (off by default): with refine on, set tau LOW
     # (recall-max chaining) and let the coherence pass split mega-clusters
@@ -224,8 +229,15 @@ class Pipeline:
         if stop_after == "s6_scores":
             return None
 
+        tau = cfg.tau
+        if tau == "auto":
+            from record_matching_spark.operators.tune import discover_threshold
+
+            tau = discover_threshold(scores)
+            self.stage_metrics.setdefault("s6_scores", {})["discovered_tau"] = tau
+
         def build_clusters() -> DataFrame:
-            edges = scores.filter(F.col("score") > cfg.tau).select(
+            edges = scores.filter(F.col("score") > tau).select(
                 F.col("left").alias("src"), F.col("right").alias("dst")
             )
             assign = cluster_assignments(edges, norm, "fid")

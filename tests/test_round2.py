@@ -170,11 +170,12 @@ def test_random_forest_cv_and_threshold(spark):
         match = i % 2 == 0
         base = 0.85 if match else 0.25
         f = lambda: min(1.0, max(0.0, base + rng.uniform(-0.1, 0.1)))
-        rows.append((f"l{i}", f"r{i}", f(), f(), f(), 0.5, 1.0, f(), match))
+        rows.append((f"l{i}", f"r{i}", f(), f(), f(), 0.5, 1.0, f(), 0.0, 0.0,
+                     match))
     df = spark.createDataFrame(
         rows, "left string, right string, jaccard double, tfidf_cos double, "
               "lev_sig double, jw_path double, same_lang double, dir_sim double, "
-              "match boolean")
+              "any_empty double, both_empty double, match boolean")
     model, importances, tau, f1, auc = train_random_forest_cv(
         df, num_trees=20, folds=3)
     assert f1 > 0.95 and auc > 0.95

@@ -107,10 +107,11 @@ def test_metadata_features(spark):
 
 def test_score_monotone(spark):
     df = spark.createDataFrame(
-        [("a", "b", 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
-         ("c", "d", 0.1, 0.1, 0.2, 0.5, 1.0, 0.5)],
+        [("a", "b", 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0),
+         ("c", "d", 0.1, 0.1, 0.2, 0.5, 1.0, 0.5, 0.0, 0.0)],
         "left string, right string, jaccard double, tfidf_cos double, "
-        "lev_sig double, jw_path double, same_lang double, dir_sim double",
+        "lev_sig double, jw_path double, same_lang double, dir_sim double, "
+        "any_empty double, both_empty double",
     )
     rows = {(r["left"]): r["score"] for r in score_pairs(df).collect()}
     assert rows["a"] > 0.9
@@ -132,12 +133,14 @@ def test_train_weights_separates(spark):
             0.5,
             1.0,
             min(1.0, max(0.0, base + rng.uniform(-0.1, 0.1))),
+            0.0,
+            0.0,
             match,
         ))
     df = spark.createDataFrame(
         rows, "left string, right string, jaccard double, tfidf_cos double, "
               "lev_sig double, jw_path double, same_lang double, dir_sim double, "
-              "match boolean")
+              "any_empty double, both_empty double, match boolean")
     w = train_weights(df)
     scored = score_pairs(df, w)
     bad = scored.filter(
