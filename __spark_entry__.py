@@ -379,6 +379,20 @@ def _q35_canonical_fields(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------- rows-only (non-SQL ops)
 
 
+def _q36_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc fingerprinting, scale path: MOSS winnowing (SIGMOD'03) k-gram
+    rolling hash + window minima → inverted-index overlap join. The rolling
+    hash is a pandas UDF (not SQL-expressible) → rows-only; the guarantee,
+    a brute-force sliding-min oracle, and determinism are pytest-gated
+    (test_round3::test_winnow_*)."""
+    from record_matching_spark.functions.text import winnow_overlap_pairs
+
+    d = _read(spark, sf, "documents")
+    return winnow_overlap_pairs(
+        d, id_col="doc_id", text_col="text", k=8, w=32, min_shared=1
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). Not SQL-expressible → rows-only check."""
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_quota_sample": _q33_quota_sample,
         "q34_ivf_topk": _q34_ivf_topk,
         "q35_canonical_fields": _q35_canonical_fields,
+        "q36_winnow_overlap": _q36_winnow_overlap,
     }
 
 

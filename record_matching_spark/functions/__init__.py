@@ -3,6 +3,8 @@ from record_matching_spark.functions.text import (  # noqa: F401
     quality_score,
     token_count,
     doc_fingerprint,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from record_matching_spark.functions.dedup import (  # noqa: F401
     exact_dedup,

@@ -1,14 +1,21 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All pure Catalyst expressions (JVM-side, whole-stage-codegen'd) so they run
-at 100 TB without a Python worker in the loop. Each has an exact ANSI-SQL
-twin in __spark_entry__.oracle_sql (DuckDB-checked).
+Pure Catalyst expressions (JVM-side, whole-stage-codegen'd) where the
+semantics allow — each of those has an exact ANSI-SQL twin in
+__spark_entry__.oracle_sql (DuckDB-checked). The winnowing fingerprints at
+the bottom are the one Arrow-batched exception: a rolling hash is not
+SQL-expressible, so they run as a pandas UDF whose inner loops are fully
+numpy-vectorized over the character dimension.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 # tiny deterministic stopword marker sets per language (heuristic lang-id)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -72,14 +79,141 @@ def language_id(col: Column) -> Column:
 
 
 def doc_fingerprint(col: Column, shingle: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min xxhash64 over all
-    `shingle`-char substrings (rolling-hash analog, fully Catalyst).
-    Equal fingerprints ⇒ likely shared content region."""
+    """Single-min document fingerprint: min xxhash64 over all
+    `shingle`-char substrings (rolling-hash analog, fully Catalyst — and
+    therefore DuckDB-oracle-able, q17). Equal fingerprints ⇒ likely shared
+    content region.
+
+    SCALE NOTE: the Catalyst transform materializes one substring + hash
+    per character, so a 1 MB document transiently allocates ~1M short
+    strings inside the expression — fine for KB-scale rows, wrong for MB
+    docs. For large documents use `winnow_fingerprints` below: O(len)
+    numpy rolling hash, output ~2·len/w values instead of len."""
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(col) - F.lit(shingle - 1), F.lit(1))
     )
     hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(col, i, shingle)))
     return F.array_min(hashes)
+
+
+# --------------------------------------------------- winnowing fingerprints
+#
+# Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003) — the MOSS algorithm. k-gram rolling hash,
+# sliding window of w hashes, keep each window's minimum. GUARANTEE: any
+# substring shared between two documents of length ≥ w + k - 1 contributes
+# at least one common fingerprint, while the expected fingerprint density
+# is only 2/(w+1) — the scale answer to q17's all-hashes-per-char shape.
+
+_WINNOW_BASE = np.uint64(0x100000001B3)      # FNV-ish odd multiplier
+_WINNOW_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constant
+
+
+def _winnow_one(data: bytes, k: int, w: int) -> np.ndarray:
+    """Sorted distinct winnowing fingerprints of one byte string. All
+    character-dimension work is vectorized numpy; uint64 wraparound is the
+    modulus. Sliding-window min via the van Herk/Gil-Werman two-pass
+    prefix/suffix trick — O(n), not O(n·w)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < k:  # shorter than one k-gram: hash the whole string
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _WINNOW_BASE + b[j : j + 1]
+    else:
+        # polynomial k-gram hash: h[i] = Σ_j b[i+j]·BASE^(k-1-j), built with
+        # k vectorized shift-multiply-adds (no per-position Python)
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * _WINNOW_BASE + b[j : n - k + 1 + j]
+    # murmur-style avalanche so window minima are uniform
+    h ^= h >> np.uint64(33)
+    h *= _WINNOW_MIX
+    h ^= h >> np.uint64(29)
+    m = len(h)
+    if m <= w:
+        sel = h.min(keepdims=True)
+    else:
+        pad = (-m) % w
+        hp = np.concatenate(
+            [h, np.full(pad, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)]
+        )
+        blocks = hp.reshape(-1, w)
+        fwd = np.minimum.accumulate(blocks, axis=1).ravel()
+        bwd = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+        # window [i, i+w-1]: suffix-min of i's block ∧ prefix-min of (i+w-1)'s
+        sel = np.minimum(bwd[: m - w + 1], fwd[w - 1 : m])
+    return np.unique(sel).view(np.int64)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    out_col: str = "winnow_fps",
+) -> DataFrame:
+    """Add `out_col`: array<long> of distinct winnowing fingerprints.
+
+    Arrow-batched pandas UDF; the per-row Python iteration is over DOCS in
+    the batch, with every O(len) character pass vectorized in numpy (unlike
+    the ANN bucket UDFs, rows here are variable-length so there is no
+    rectangular batch matmul to hoist). Memory per row is O(len) transient
+    uint64 + ~2·len/w output — MB documents are fine, and only the small
+    fingerprint arrays shuffle downstream."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fps(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _winnow_one(
+                    (t or "").encode("utf-8", "surrogatepass"), k, w
+                ).tolist()
+                for t in texts
+            ]
+        )
+
+    return df.withColumn(out_col, _fps(F.col(text_col)))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    min_shared: int = 2,
+    max_df: int = 200,
+) -> DataFrame:
+    """MOSS-style shared-content pairs: docs that share ≥ `min_shared`
+    winnowing fingerprints, with the shared count. The scale shape is an
+    inverted index (explode → join on fingerprint), NOT all-pairs:
+
+    - `max_df` drops fingerprints appearing in more than that many docs
+      (boilerplate/license headers) BEFORE the self-join — the same
+      fan-out bound as blocking's salt cap, computed with a window over
+      `fp` whose hash exchange the join then reuses (one shuffle, not two);
+    - output pairs are canonical left < right.
+    """
+    inv = (
+        winnow_fingerprints(df, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), F.explode("winnow_fps").alias("fp"))
+        .distinct()
+    )
+    inv = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_df)
+    a = inv.select("fp", F.col("_id").alias("left"))
+    b = inv.select("fp", F.col("_id").alias("right"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("left") < F.col("right"))
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
