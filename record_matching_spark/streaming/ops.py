@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -82,6 +83,101 @@ def stateful_stream_dedup(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_NEAR_DUP_STATE = StructType([StructField("rep", StringType())])
+_NEAR_DUP_OUT = StructType(
+    [
+        StructField("block_key", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("rep_id", StringType()),
+    ]
+)
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Cross-batch streaming NEAR-dup candidates: MinHash-LSH band keys with
+    per-band representative state.
+
+    Streaming analog of `functions.dedup.minhash_near_dup_pairs(
+    verify_exact=False)` — the same signature → band → content-sha-key
+    recipe (reusing the batch UDFs; they are stateless per row so they run
+    unchanged under Structured Streaming), but membership is resolved
+    against ALL history via the state store instead of a self-join: each
+    band key holds its FIRST-seen doc id (its representative), and every
+    later arrival on that band — same micro-batch or any later one — emits
+    an edge to that representative. P(edge | J) = 1-(1-J^r)^b per the LSH
+    contract; exact verification needs both texts and belongs downstream
+    (join edge stream against a doc store), exactly as the batch path
+    separates recall machinery from the decision.
+
+    Output (append mode): (block_key, doc_id, rep_id) — one row per band
+    per doc; `doc_id != rep_id` rows are the candidate near-dup edges.
+    Within a micro-batch the representative is the MIN doc id (so output
+    is deterministic under task reordering); across batches it is the
+    first-seen representative from the state store, which survives
+    restarts via the checkpoint. State: ONE string per distinct band key,
+    hash-partitioned across executors by the state store — the same scale
+    class as the batch blocks table, with no growth per re-delivery.
+    """
+    from record_matching_spark.operators.minhash import (
+        minhash_bands,
+        with_minhash_signature,
+    )
+    from record_matching_spark.operators.normalize import char_shingles, tokenize
+
+    def _tok(c):
+        return char_shingles(c, shingle_k) if shingle_k is not None else tokenize(c)
+
+    toks = stream.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
+        F.xxhash64(F.lit("cs"), F.col(text_col)).alias("_cs"),
+    )
+    sigs = with_minhash_signature(
+        toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
+    )
+    bands = minhash_bands(
+        sigs, id_col="_id", num_bands=num_bands, rows_per_band=rows_per_band
+    ).unionByName(
+        # identical texts are ALWAYS candidates regardless of tokenization
+        # (empty-token docs carry unique sentinel signatures, batch parity)
+        toks.select(F.col("_id"), F.col("_cs").alias("block_key"))
+    )
+
+    def match_fn(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids: list[str] = []
+        for pdf in batches:
+            ids.extend(pdf["_id"].tolist())
+        if not ids:
+            return
+        ids = sorted(set(ids))
+        if state.exists:
+            (rep,) = state.get
+        else:
+            rep = ids[0]
+            state.update((rep,))
+        yield pd.DataFrame(
+            {"block_key": key[0], "doc_id": ids, "rep_id": rep}
+        )
+
+    return bands.groupBy("block_key").applyInPandasWithState(
+        match_fn,
+        outputStructType=_NEAR_DUP_OUT,
+        stateStructType=_NEAR_DUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

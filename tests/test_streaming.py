@@ -74,6 +74,58 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     assert {r["content_sha"] for r in got2.collect()} == {"a", "b", "c"}
 
 
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """LSH-band state across micro-batches: a near-identical doc arriving a
+    BATCH LATER still matches the original's representative; unrelated docs
+    never edge; an exact re-delivery matches via the content-sha key."""
+    from record_matching_spark.streaming.ops import (
+        run_stream_to_parquet,
+        streaming_near_dup,
+    )
+
+    src = tmp_path / "nd_in"
+    dst = tmp_path / "nd_out"
+    ckp = tmp_path / "nd_ck"
+    schema = "doc_id string, text string"
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    mutated = base.replace("tok7 ", "zzz7 ").replace("tok41 ", "qqq41 ")
+    other = " ".join(f"alt{i}" for i in range(60))
+    third = " ".join(f"new{i}" for i in range(60))
+
+    spark.createDataFrame(
+        [("A", base), ("D", other)], schema
+    ).write.parquet(str(src), mode="append")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_parquet(
+            streaming_near_dup(stream, text_col="text", id_col="doc_id"),
+            str(dst), str(ckp),
+        )
+
+    run()
+    first = spark.read.parquet(str(dst))
+    assert first.filter("doc_id != rep_id").count() == 0  # A, D unrelated
+
+    # batch 2: B ≈ A (2 of 60 words mutated), C unrelated, E == D exactly
+    spark.createDataFrame(
+        [("B", mutated), ("C", third), ("E", other)], schema
+    ).write.parquet(str(src), mode="append")
+    run()
+    edges = {
+        (r["doc_id"], r["rep_id"])
+        for r in spark.read.parquet(str(dst))
+        .filter("doc_id != rep_id")
+        .select("doc_id", "rep_id")
+        .distinct()
+        .collect()
+    }
+    assert ("B", "A") in edges, edges        # cross-batch LSH match
+    assert ("E", "D") in edges, edges        # exact copy via content-sha key
+    assert not any(d == "C" for d, _ in edges), edges
+
+
 def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     """Watermarked tumbling windows: rows later than the watermark behind
     the max seen timestamp are excluded from finalized windows."""
