@@ -5,11 +5,12 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible (28 of 34,
-including the q26 mini-ER whose oracle is a recursive-CTE reachability
-closure). Rows-only by design: q24 simhash, q25/q34 approximate ANN,
-q27 media decode, q29 cluster refinement, q30 the full ER pipeline on the
-synthetic repo_files corpus — each gated by a pytest substitute instead.
+from SURVEY.md §2, DuckDB-oracled where expressible (32 of 36, including
+the q26/q29 recursive-CTE closures and the q24/q36 portable-md5-hash
+variants recomputed entirely in SQL). Rows-only by design: q25/q34
+approximate ANN (recall-gated), q27 media decode (no codecs in DuckDB),
+q30 the full ER pipeline on an in-flight synthetic corpus (golden-SHA
+pytest gate) — each carried by a pytest substitute instead.
 """
 
 from __future__ import annotations
@@ -381,25 +382,31 @@ def _q35_canonical_fields(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q36_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Doc fingerprinting, scale path: MOSS winnowing (SIGMOD'03) k-gram
-    rolling hash + window minima → inverted-index overlap join. The rolling
-    hash is a pandas UDF (not SQL-expressible) → rows-only; the guarantee,
-    a brute-force sliding-min oracle, and determinism are pytest-gated
-    (test_round3::test_winnow_*)."""
+    hash + window minima → inverted-index overlap join. portable=True uses
+    md5 character-k-gram hashes so the DuckDB oracle reproduces the
+    fingerprint SETS exactly (min OVER w-row window + DISTINCT); the
+    production numpy rolling-hash path selects the same minima structure
+    and stays pytest-gated (test_round3::test_winnow_*)."""
     from record_matching_spark.functions.text import winnow_overlap_pairs
 
     d = _read(spark, sf, "documents")
     return winnow_overlap_pairs(
-        d, id_col="doc_id", text_col="text", k=8, w=32, min_shared=1
+        d, id_col="doc_id", text_col="text", k=8, w=32, min_shared=1,
+        portable=True,
     )
 
 
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
-    verify). Not SQL-expressible → rows-only check."""
+    verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
+    hamming ≤ 3 pair set, so the DuckDB oracle recomputes simhash from
+    portable md5 token hashes (per-bit majority in SQL) and brute-forces
+    all pairs — the blocking is a plan optimization, not a semantics
+    change."""
     from record_matching_spark.functions.dedup import simhash_near_dup_pairs
 
     d = _read(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return simhash_near_dup_pairs(d, max_hamming=3, portable=True)
 
 
 def _q25_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -439,8 +446,10 @@ def _q26_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def _q29_refined_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """B15 cluster refinement on the documents mini-ER: clusters whose mean
     within-cluster Jaccard < 0.95 are split at edges below 0.95 (weak-bridge
-    mega-cluster splitting; reference claude_poc_v2:1640-1853). Rows-only:
-    pytest tests/test_refine.py carries the correctness gate."""
+    mega-cluster splitting; reference claude_poc_v2:1640-1853). DuckDB
+    oracle = q26's recursive-CTE closure, then coherence/size per cluster,
+    then a second recursive closure over the ≥0.95 edges of the incoherent
+    clusters only (pytest tests/test_refine.py carries the unit gate)."""
     from record_matching_spark.functions.dedup import minhash_near_dup_pairs
     from record_matching_spark.operators.cluster import cluster_assignments
     from record_matching_spark.operators.refine import refine_clusters
@@ -710,10 +719,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_er_clusters": f"""
             WITH RECURSIVE
-            t AS (SELECT doc_id, text,
+            t AS MATERIALIZED (SELECT doc_id, text,
                          list_sort(list_distinct({_TOKS})) AS toks
                   FROM documents),
-            p AS (
+            p AS MATERIALIZED (
                 SELECT a.doc_id AS l, b.doc_id AS r FROM t a JOIN t b
                 ON a.doc_id < b.doc_id
                 WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
@@ -728,6 +737,114 @@ def oracle_sql() -> dict[str, str]:
                 SELECT w.node, e.r FROM walk w JOIN e ON e.l = w.reach
             )
             SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+        """,
+        "q24_simhash_dups": f"""
+            WITH th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            votes AS (
+                SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+                FROM th, unnest(generate_series(0, 59)) AS g(b)
+                GROUP BY doc_id, b
+            ),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                FROM votes GROUP BY doc_id
+            ),
+            s AS (
+                SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+                FROM documents d LEFT JOIN sig USING (doc_id)
+            )
+            SELECT a.doc_id AS "left", b.doc_id AS "right",
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "q29_refined_clusters": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id, text,
+                         list_sort(list_distinct({_TOKS})) AS toks
+                  FROM documents),
+            p AS MATERIALIZED (
+                SELECT l, r, j FROM (
+                    SELECT a.doc_id AS l, b.doc_id AS r,
+                           CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                                THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
+                                ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                                     / len(list_distinct(list_concat(a.toks, b.toks)))
+                           END AS j
+                    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+                WHERE j >= 0.9),
+            e AS (SELECT l, r FROM p UNION ALL SELECT r AS l, l AS r FROM p),
+            walk(node, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.node, e.r FROM walk w JOIN e ON e.l = w.reach
+            ),
+            assign AS MATERIALIZED (SELECT node AS doc_id, min(reach) AS cluster_id
+                       FROM walk GROUP BY node),
+            coh AS (SELECT al.cluster_id, avg(p.j) AS coherence
+                    FROM p JOIN assign al ON p.l = al.doc_id
+                    GROUP BY al.cluster_id),
+            sizes AS (SELECT cluster_id, count(*) AS size
+                      FROM assign GROUP BY cluster_id),
+            bad AS (SELECT s.cluster_id
+                    FROM sizes s LEFT JOIN coh USING (cluster_id)
+                    WHERE s.size >= 3 AND coalesce(coh.coherence, 1.0) < 0.95),
+            badm AS MATERIALIZED (SELECT doc_id FROM assign
+                     WHERE cluster_id IN (SELECT cluster_id FROM bad)),
+            se AS MATERIALIZED (
+                SELECT l, r FROM p
+                WHERE j >= 0.95
+                  AND l IN (SELECT doc_id FROM badm)
+                  AND r IN (SELECT doc_id FROM badm)
+                UNION ALL
+                SELECT r AS l, l AS r FROM p
+                WHERE j >= 0.95
+                  AND l IN (SELECT doc_id FROM badm)
+                  AND r IN (SELECT doc_id FROM badm)
+            ),
+            walk2(node, reach) AS (
+                SELECT doc_id, doc_id FROM badm
+                UNION
+                SELECT w.node, se.r FROM walk2 w JOIN se ON se.l = w.reach
+            )
+            SELECT doc_id, cluster_id FROM assign
+            WHERE cluster_id NOT IN (SELECT cluster_id FROM bad)
+            UNION ALL
+            SELECT node AS doc_id, min(reach) AS cluster_id
+            FROM walk2 GROUP BY node
+        """,
+        "q36_winnow_overlap": """
+            WITH pos AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)
+            ),
+            win AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fp,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+                       count(*) OVER (PARTITION BY doc_id) AS m
+                FROM pos
+            ),
+            fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE rn >= 32 OR rn = m),
+            filt AS (
+                SELECT doc_id, fp FROM (
+                    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                    FROM fps)
+                WHERE df <= 200
+            )
+            SELECT a.doc_id AS "left", b.doc_id AS "right",
+                   count(*) AS shared_fps
+            FROM filt a JOIN filt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY "left", "right"
+            HAVING count(*) >= 1
         """,
         "q22_embedding_topk": """
             WITH s AS (

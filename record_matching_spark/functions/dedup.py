@@ -51,8 +51,16 @@ def ngram_jaccard_pairs(
 
     Brute-force (quadratic per group) — the *oracle-grade* dedup for
     small/grouped data; use minhash_near_dup_pairs for the scale path.
-    Output: (left, right, jaccard) with left < right.
+    Ungrouped input is an unguarded cartesian product, so (like its sibling
+    embedding_near_dup_pairs) it refuses above 100k rows rather than
+    silently cross-joining a corpus. Output: (left, right, jaccard) with
+    left < right.
     """
+    if not group_cols and df.count() > 100_000:
+        raise ValueError(
+            "ngram_jaccard_pairs without group_cols is a cartesian product; "
+            "pass group_cols or use minhash_near_dup_pairs above 100k rows"
+        )
     toks = df.select(
         *(group_cols or []),
         F.col(id_col),
@@ -217,29 +225,53 @@ def minhash_near_dup_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              out_col: str = "simhash") -> DataFrame:
+              out_col: str = "simhash", portable: bool = False) -> DataFrame:
     """64-bit SimHash of the token multiset (Charikar 2002): sign of the
     per-bit sum of token-hash bits weighted by token frequency. Arrow-batched
-    numpy; token hashing stays JVM-side (xxhash64)."""
+    numpy; token hashing stays JVM-side.
+
+    portable=True hashes tokens via md5 (first 15 hex chars → 60-bit int,
+    the `hash_split(portable=True)` idiom) so ANY engine with md5 reproduces
+    the signatures bit-for-bit (bits 60-63 are then always zero) — this is
+    what lets the q24 DuckDB oracle recompute simhash in SQL. Default
+    xxhash64 (faster, JVM-only)."""
 
     @F.pandas_udf(LongType())
     def simhash_udf(token_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(token_hashes), dtype=np.int64)
-        for i, arr in enumerate(token_hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # (n_tokens, 64) bit matrix → column sums vs n/2
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            votes = bits.sum(axis=0) * 2 - len(h)
-            sig = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
+        # flatten every doc's token hashes into one array, then one
+        # vectorized segment-reduce per bit — no per-doc Python, and memory
+        # stays O(total_tokens) instead of the (tokens, 64) bit matrix
+        n = len(token_hashes)
+        out = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in token_hashes),
+            dtype=np.int64, count=n,
+        )
+        nz = lens > 0
+        if not nz.any():
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a, m in zip(token_hashes, nz) if m]
+        ).astype(np.uint64)
+        seg_lens = lens[nz]
+        starts = np.zeros(len(seg_lens), dtype=np.int64)
+        starts[1:] = np.cumsum(seg_lens)[:-1]
+        sig = np.zeros(len(seg_lens), dtype=np.uint64)
+        for b in range(64):
+            ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(ones, starts) * 2 - seg_lens
+            sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        out[nz] = sig.view(np.int64)
         return pd.Series(out)
 
-    token_hashes = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    toks = tokenize(F.col(text_col))
+    if portable:
+        token_hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(F.col(id_col), simhash_udf(token_hashes).alias(out_col))
 
 
@@ -249,12 +281,16 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dups: block on each of `n_chunks` 16-bit signature chunks
     (pigeonhole: hamming ≤ n_chunks-1 guarantees an identical chunk), then
     exact-verify hamming distance ≤ max_hamming via bit_count (Catalyst).
-    Output: (left, right, hamming)."""
-    sh = simhash64(df, text_col=text_col, id_col=id_col)
+    With max_hamming ≤ n_chunks-1 the pigeonhole guarantee makes the output
+    EXACTLY the set of pairs at hamming ≤ max_hamming — which is what the
+    q24 DuckDB oracle recomputes by brute force (portable=True md5 token
+    hashes). Output: (left, right, hamming)."""
+    sh = simhash64(df, text_col=text_col, id_col=id_col, portable=portable)
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
     keys = sh.select(

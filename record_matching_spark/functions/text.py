@@ -154,6 +154,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 64,
     out_col: str = "winnow_fps",
+    portable: bool = False,
 ) -> DataFrame:
     """Add `out_col`: array<long> of distinct winnowing fingerprints.
 
@@ -162,7 +163,38 @@ def winnow_fingerprints(
     the ANN bucket UDFs, rows here are variable-length so there is no
     rectangular batch matmul to hoist). Memory per row is O(len) transient
     uint64 + ~2·len/w output — MB documents are fine, and only the small
-    fingerprint arrays shuffle downstream."""
+    fingerprint arrays shuffle downstream.
+
+    portable=True swaps the numpy byte-level rolling hash for a pure-Catalyst
+    CHARACTER k-gram hash (md5 first-15-hex → 60-bit int, the
+    hash_split(portable=True) idiom) with O(m·w) explicit window minima —
+    exactly reproducible in any engine with md5 + window functions, which is
+    what the q36 DuckDB oracle does. The selected-minima SET is identical to
+    winnowing's (window min per position, distinct), but portable mode
+    inherits q17's per-character substring allocation: it is the
+    VERIFICATION mode for KB-scale rows, not the MB-document scale path."""
+    if portable:
+        c = F.col(text_col)
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+        )
+        hashed = F.transform(
+            starts,
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        tmp = df.withColumn("_wh", hashed)
+        m = F.size("_wh")
+        wins = F.when(m <= F.lit(w), F.array(F.array_min("_wh"))).otherwise(
+            F.transform(
+                F.sequence(F.lit(w), m),
+                lambda j: F.array_min(F.slice(F.col("_wh"), j - F.lit(w - 1), w)),
+            )
+        )
+        return tmp.withColumn(
+            out_col, F.array_sort(F.array_distinct(wins))
+        ).drop("_wh")
 
     @pandas_udf(ArrayType(LongType()))
     def _fps(texts: pd.Series) -> pd.Series:
@@ -186,6 +218,7 @@ def winnow_overlap_pairs(
     w: int = 64,
     min_shared: int = 2,
     max_df: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """MOSS-style shared-content pairs: docs that share ≥ `min_shared`
     winnowing fingerprints, with the shared count. The scale shape is an
@@ -196,12 +229,45 @@ def winnow_overlap_pairs(
       fan-out bound as blocking's salt cap, computed with a window over
       `fp` whose hash exchange the join then reuses (one shuffle, not two);
     - output pairs are canonical left < right.
+
+    portable=True builds the inverted index in long form — posexplode the
+    md5 k-gram hashes, then a JVM running-min window (ROWS w-1 PRECEDING)
+    per doc — one ordered scan instead of winnow_fingerprints' O(m·w)
+    array slices, and literally the same query the DuckDB q36 oracle runs.
     """
-    inv = (
-        winnow_fingerprints(df, text_col=text_col, k=k, w=w)
-        .select(F.col(id_col).alias("_id"), F.explode("winnow_fps").alias("fp"))
-        .distinct()
-    )
+    if portable:
+        c = F.col(text_col)
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+        )
+        hashed = F.transform(
+            starts,
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        pos = df.select(
+            F.col(id_col).alias("_id"), F.posexplode(hashed).alias("p", "h")
+        )
+        wspec = Window.partitionBy("_id").orderBy("p")
+        win = pos.select(
+            "_id",
+            F.min("h").over(wspec.rowsBetween(-(w - 1), 0)).alias("fp"),
+            F.col("p").alias("p"),
+            F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_m"),
+        )
+        # full windows only, plus the final (min-of-all) row for short docs
+        inv = (
+            win.filter((F.col("p") >= w - 1) | (F.col("p") == F.col("_m") - 1))
+            .select("_id", "fp")
+            .distinct()
+        )
+    else:
+        inv = (
+            winnow_fingerprints(df, text_col=text_col, k=k, w=w)
+            .select(F.col(id_col).alias("_id"), F.explode("winnow_fps").alias("fp"))
+            .distinct()
+        )
     inv = inv.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("_df") <= max_df)

@@ -36,18 +36,25 @@ def duplicate_key_bitmap(
     bits — keys are xxhash64 outputs, so low bits are uniform).
 
     Built in one map-only pass (mapInArrow): each partition emits its
-    distinct slots split into seen-once / seen-twice lists (sparse — ~4
-    bytes per row, not a dense counter array); the driver unions the
-    twice-lists with slots seen once in ≥ 2 partitions. CONSERVATIVE by
-    construction: a slot collision keeps a singleton band (false positive),
-    never drops a true duplicate — so filtering on the bitmap provably
-    preserves the candidate-pair set (the exact census downstream is
-    unchanged). Scale regime: driver traffic is ~4 bytes per block row;
+    distinct slots split into seen-once / seen-twice lists as PACKED
+    int64 bytes (one binary cell per partition — 8 bytes per distinct
+    slot on the driver via np.frombuffer, not ~28 B/int boxed Python
+    lists; ADVICE r3); the driver unions the twice-lists with slots seen
+    once in ≥ 2 partitions. CONSERVATIVE by construction: a slot
+    collision keeps a singleton band (false positive), never drops a true
+    duplicate — so filtering on the bitmap provably preserves the
+    candidate-pair set (the exact census downstream is unchanged). Scale
+    regime: driver traffic is ≤ 8 bytes per distinct (partition, slot);
     size log2_slots so the slot load factor stays ≪ 1, and skip the
     prefilter entirely (None) at row counts where that's impossible — the
     census filter alone is always correct.
 
-    Returns (bitmap: np.ndarray[uint8] packed bits, log2_slots)."""
+    Returns (bitmap: np.ndarray[uint8] packed bits, log2_slots, stats) with
+    stats = {total_rows, dropped_rows, drop_frac}: a definitely-singleton
+    slot (seen exactly once across all partitions, never twice anywhere)
+    holds exactly one block row, so the sketch itself yields the EXACT
+    number of rows the prefilter would remove — the signal the auto-on
+    heuristic keys on (VERDICT r3 item 8), at no extra pass."""
     n_slots = 1 << log2_slots
     mask = np.uint64(n_slots - 1)
 
@@ -55,8 +62,10 @@ def duplicate_key_bitmap(
         import pyarrow as pa
 
         slots_parts = []
+        n_rows = 0
         for rb in batches:
             h = rb.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            n_rows += len(h)
             slots_parts.append((h & mask).astype(np.int64))
         if slots_parts:
             slots = np.concatenate(slots_parts)
@@ -66,28 +75,36 @@ def duplicate_key_bitmap(
         else:
             ones = twos = np.empty(0, dtype=np.int64)
         yield pa.RecordBatch.from_arrays(
-            [pa.array([ones.tolist()]), pa.array([twos.tolist()])],
-            names=["ones", "twos"],
+            [pa.array([ones.tobytes()]), pa.array([twos.tobytes()]),
+             pa.array([n_rows], type=pa.int64())],
+            names=["ones", "twos", "n_rows"],
         )
 
     rows = (
         blocks.select(F.col(key_col))
-        .mapInArrow(sketch, schema="ones array<long>, twos array<long>")
+        .mapInArrow(sketch, schema="ones binary, twos binary, n_rows long")
         .collect()
     )
     ones_all = np.concatenate(
-        [np.asarray(r["ones"], dtype=np.int64) for r in rows]
+        [np.frombuffer(r["ones"], dtype=np.int64) for r in rows]
         or [np.empty(0, dtype=np.int64)]
     )
     twos_all = np.concatenate(
-        [np.asarray(r["twos"], dtype=np.int64) for r in rows]
+        [np.frombuffer(r["twos"], dtype=np.int64) for r in rows]
         or [np.empty(0, dtype=np.int64)]
     )
+    total_rows = int(sum(r["n_rows"] for r in rows))
     uniq, counts = np.unique(ones_all, return_counts=True)
     dup_slots = np.union1d(uniq[counts >= 2], np.unique(twos_all))
+    dropped = int(np.setdiff1d(uniq[counts == 1], twos_all).size)
     bits = np.zeros(n_slots, dtype=bool)
     bits[dup_slots] = True
-    return np.packbits(bits), log2_slots
+    stats = {
+        "total_rows": total_rows,
+        "dropped_rows": dropped,
+        "drop_frac": dropped / total_rows if total_rows else 0.0,
+    }
+    return np.packbits(bits), log2_slots, stats
 
 
 def filter_blocks_by_bitmap(
@@ -188,7 +205,8 @@ def candidate_pairs(
     dedup: bool = True,
     keep_block_key: bool = True,
     persist_blocks: bool = True,
-    prefilter_log2_slots: int | None = None,
+    prefilter_log2_slots: int | str | None = None,
+    prefilter_auto_min_drop: float = 0.5,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a (id, block_key) table.
 
@@ -218,18 +236,33 @@ def candidate_pairs(
     Costs one extra map-only scan of `blocks` — callers should pass
     materialized blocks (the pipeline's parquet stage / the dedup path's
     localCheckpoint already do).
+
+    prefilter_log2_slots="auto" (VERDICT r3 item 8): the sketch always
+    runs (it's the cheap map-only pass and it measures the EXACT
+    removable-row fraction), but the filter pass — the expensive Arrow
+    round-trip over every block row — is applied only when
+    drop_frac ≥ prefilter_auto_min_drop. The r3 A/B measured the filter
+    LOSING 1.6× at a 21% singleton fraction and winning on
+    singleton-dominated corpora; the threshold defaults to the midpoint
+    regime boundary (scripts/prefilter_ab_bench.py carries both A/B
+    rows).
     """
     if prefilter_log2_slots is not None:
+        auto = prefilter_log2_slots == "auto"
+        lg_req = 24 if auto else prefilter_log2_slots
         if persist_blocks:
             # materialize BEFORE the sketch pass so the sketch scan and the
             # real pass don't each re-run the upstream signature UDFs; the
             # post-census checkpoint below still happens (the self-join
             # scans the much smaller censused b twice)
             blocks = blocks.localCheckpoint(eager=True)
-        bitmap, lg = duplicate_key_bitmap(
-            blocks, key_col="block_key", log2_slots=prefilter_log2_slots
+        bitmap, lg, stats = duplicate_key_bitmap(
+            blocks, key_col="block_key", log2_slots=lg_req
         )
-        blocks = filter_blocks_by_bitmap(blocks, bitmap, lg, key_col="block_key")
+        if not auto or stats["drop_frac"] >= prefilter_auto_min_drop:
+            blocks = filter_blocks_by_bitmap(
+                blocks, bitmap, lg, key_col="block_key"
+            )
     # repartition FIRST so the census window reuses the same hash
     # partitioning instead of shuffling twice (one exchange total).
     # The partition COUNT is explicit: the pair self-join EXPLODES row

@@ -59,9 +59,14 @@ def canonical_fields(
     parallelism; nulls are ignored per mode() semantics). One hash
     aggregate — partial aggregation combines map-side, no window, no
     per-row Python. Output: (cluster_id, cluster_size, <field>...) with
-    each field carrying its majority value."""
+    each field carrying its majority value.
+
+    Only id_col + fields are taken from `records` BEFORE the join — this
+    both trims the shuffle to the requested columns and avoids an
+    ambiguous-column AnalysisException when records already carries a
+    cluster_id-named column (ADVICE r3)."""
     joined = clusters.select(F.col(id_col), F.col(cluster_col)).join(
-        records, id_col, "inner"
+        records.select(id_col, *fields), id_col, "inner"
     )
     aggs = [F.count(F.lit(1)).alias("cluster_size")] + [
         F.mode(f, True).alias(f) for f in fields

@@ -109,8 +109,11 @@ def minhash_bands(
     id_col: str = "file_id",
     num_bands: int = 32,
     rows_per_band: int = 4,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode a signature into (id, block_key) LSH band rows.
+    `keep_cols` rides extra columns along (streaming near-dup carries the
+    token-hash set for in-state exact verification).
 
     block_key = xxhash64('mh', band_idx, band slice) — a compact int64 so
     the downstream self-join and pair-dedup shuffle 8-byte keys instead of
@@ -134,4 +137,8 @@ def minhash_bands(
             ),
         ),
     )
-    return df.select(F.col(id_col), F.explode(bands).alias("block_key"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.explode(bands).alias("block_key"),
+    )

@@ -35,7 +35,12 @@ def score_histogram(
     hi: float = 1.0,
 ) -> np.ndarray:
     """Fixed-width histogram of a score column as a numpy array of counts.
-    One distributed aggregate; out-of-range values clamp to the edge bins."""
+    One distributed aggregate; out-of-range values clamp to the edge bins;
+    null/NaN scores are dropped (a null would otherwise floor() to a null
+    bin and crash the fill loop — ADVICE r3)."""
+    scored = scored.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+    )
     b = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * bins).cast("int")
     b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b))
     rows = scored.select(b.alias("b")).groupBy("b").count().collect()

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -96,6 +98,19 @@ _NEAR_DUP_OUT = StructType(
         StructField("rep_id", StringType()),
     ]
 )
+# verified variant: rep's sorted token-hash set rides in state as packed
+# int64 bytes; output carries the exact Jaccard that admitted the edge
+_NEAR_DUP_STATE_V = StructType(
+    [StructField("rep", StringType()), StructField("rep_toks", BinaryType())]
+)
+_NEAR_DUP_OUT_V = StructType(
+    [
+        StructField("block_key", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("rep_id", StringType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
 
 
 def streaming_near_dup(
@@ -106,6 +121,7 @@ def streaming_near_dup(
     num_bands: int = 32,
     rows_per_band: int = 4,
     shingle_k: int | None = None,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Cross-batch streaming NEAR-dup candidates: MinHash-LSH band keys with
     per-band representative state.
@@ -118,19 +134,34 @@ def streaming_near_dup(
     band key holds its FIRST-seen doc id (its representative), and every
     later arrival on that band — same micro-batch or any later one — emits
     an edge to that representative. P(edge | J) = 1-(1-J^r)^b per the LSH
-    contract; exact verification needs both texts and belongs downstream
-    (join edge stream against a doc store), exactly as the batch path
-    separates recall machinery from the decision.
+    contract.
 
-    Output (append mode): (block_key, doc_id, rep_id) — one row per band
-    per doc; `doc_id != rep_id` rows are the candidate near-dup edges.
-    Within a micro-batch the representative is the MIN doc id (so output
-    is deterministic under task reordering); across batches it is the
-    first-seen representative from the state store, which survives
-    restarts via the checkpoint. State: ONE string per distinct band key,
-    hash-partitioned across executors by the state store — the same scale
-    class as the batch blocks table, with no growth per re-delivery.
+    verify_threshold=None (default) emits every candidate edge — exact
+    verification then belongs downstream (join the edge stream against a
+    doc store). verify_threshold=τ mirrors the batch path's
+    verify-then-emit (minhash_near_dup_pairs verify_exact): the
+    representative's sorted token-HASH set rides in state (packed int64
+    bytes, 8 B/token), every later same-band arrival is exact-verified
+    against it in-state, and a candidate below τ produces NO row; output
+    gains a `jaccard` column (1.0 on the rep's own membership row).
+    Jaccard over xxhash64 token hashes equals Jaccard over the tokens up
+    to a ~2⁻⁶⁴ collision. Asymmetry vs batch: verification is against the
+    band's first-seen representative only (state holds one doc per band),
+    not all-pairs within the band — a rejected doc still pairs through
+    its other bands, the LSH recall contract unchanged.
+
+    Output (append mode): (block_key, doc_id, rep_id[, jaccard]) — one row
+    per band per doc; `doc_id != rep_id` rows are the candidate near-dup
+    edges. Within a micro-batch the representative is the MIN doc id (so
+    output is deterministic under task reordering); across batches it is
+    the first-seen representative from the state store, which survives
+    restarts via the checkpoint. State: one string (plus one packed
+    token-hash set when verifying) per distinct band key, hash-partitioned
+    across executors by the state store — the same scale class as the
+    batch blocks table, with no growth per re-delivery.
     """
+    import numpy as np
+
     from record_matching_spark.operators.minhash import (
         minhash_bands,
         with_minhash_signature,
@@ -140,20 +171,28 @@ def streaming_near_dup(
     def _tok(c):
         return char_shingles(c, shingle_k) if shingle_k is not None else tokenize(c)
 
+    verify = verify_threshold is not None
     toks = stream.select(
         F.col(id_col).cast("string").alias("_id"),
         F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
         F.xxhash64(F.lit("cs"), F.col(text_col)).alias("_cs"),
     )
+    if verify:
+        # sorted distinct token hashes — the exact-verify payload
+        toks = toks.withColumn(
+            "_th", F.array_sort(F.transform("_t", lambda t: F.xxhash64(t)))
+        )
+    keep = ["_th"] if verify else []
     sigs = with_minhash_signature(
         toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
     )
     bands = minhash_bands(
-        sigs, id_col="_id", num_bands=num_bands, rows_per_band=rows_per_band
+        sigs, id_col="_id", num_bands=num_bands, rows_per_band=rows_per_band,
+        keep_cols=keep,
     ).unionByName(
         # identical texts are ALWAYS candidates regardless of tokenization
         # (empty-token docs carry unique sentinel signatures, batch parity)
-        toks.select(F.col("_id"), F.col("_cs").alias("block_key"))
+        toks.select(F.col("_id"), *keep, F.col("_cs").alias("block_key"))
     )
 
     def match_fn(
@@ -174,10 +213,53 @@ def streaming_near_dup(
             {"block_key": key[0], "doc_id": ids, "rep_id": rep}
         )
 
+    def match_fn_verified(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        docs: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for _id, th in zip(pdf["_id"], pdf["_th"]):
+                if _id not in docs:
+                    docs[_id] = np.asarray(
+                        [] if th is None else th, dtype=np.int64
+                    )
+        if not docs:
+            return
+        ids = sorted(docs)
+        if state.exists:
+            rep, rep_bytes = state.get
+            rep_toks = np.frombuffer(rep_bytes, dtype=np.int64)
+        else:
+            rep = ids[0]
+            rep_toks = docs[rep]
+            state.update((rep, rep_toks.tobytes()))
+        out_ids, out_j = [], []
+        for _id in ids:
+            if _id == rep:
+                j = 1.0
+            else:
+                t = docs[_id]
+                inter = np.intersect1d(t, rep_toks, assume_unique=True).size
+                union = t.size + rep_toks.size - inter
+                j = 1.0 if union == 0 else inter / union
+                if j < verify_threshold:
+                    continue  # the verify-then-emit gate
+            out_ids.append(_id)
+            out_j.append(j)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "block_key": key[0],
+                    "doc_id": out_ids,
+                    "rep_id": rep,
+                    "jaccard": out_j,
+                }
+            )
+
     return bands.groupBy("block_key").applyInPandasWithState(
-        match_fn,
-        outputStructType=_NEAR_DUP_OUT,
-        stateStructType=_NEAR_DUP_STATE,
+        match_fn_verified if verify else match_fn,
+        outputStructType=_NEAR_DUP_OUT_V if verify else _NEAR_DUP_OUT,
+        stateStructType=_NEAR_DUP_STATE_V if verify else _NEAR_DUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

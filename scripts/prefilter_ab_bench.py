@@ -9,7 +9,14 @@ unique files, untouched token-sorted keys) BEFORE the repartition+census+
 self-join shuffle; what it buys depends on the singleton fraction, which
 this script also reports.
 
-Usage: python scripts/prefilter_ab_bench.py [n_families=24000] [reps=3]
+Round 4 adds the third arm — prefilter="auto" (sketch always, filter
+only when the measured drop fraction clears the threshold) — and a
+members_mean knob: members_mean=1 synthesizes the singleton-dominated
+regime where the filter should win and auto must switch it on;
+the default corpus is the ~21%-singleton regime where it loses and auto
+must switch it off. The auto arm's wall should track the winner in both.
+
+Usage: python scripts/prefilter_ab_bench.py [n_families=24000] [reps=3] [members_mean=4]
 """
 
 from __future__ import annotations
@@ -38,11 +45,13 @@ def pair_fp(pairs) -> tuple:
 def main() -> None:
     fams = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    members_mean = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     spark = get_spark(app_name="prefilter_ab", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     truth = synth_repo_files_with_truth(
-        spark, n_families=fams, seed=42, members_mean=4, heavy_families=2
+        spark, n_families=fams, seed=42, members_mean=members_mean,
+        heavy_families=2,
     )
     norm = normalize_files(repo_files(truth)).localCheckpoint(eager=True)
     blocks = blocking_keys(norm, id_col="fid").localCheckpoint(eager=True)
@@ -53,10 +62,10 @@ def main() -> None:
     print(f"block rows={n_rows} singleton-key rows={n_singleton} "
           f"({100.0 * n_singleton / n_rows:.1f}%)", flush=True)
 
-    walls = {"off": [], "on": []}
+    walls = {"off": [], "on": [], "auto": []}
     fps = {}
     for rep in range(reps):
-        for name, slots in (("off", None), ("on", 24)):
+        for name, slots in (("off", None), ("on", 24), ("auto", "auto")):
             t0 = time.monotonic()
             p = candidate_pairs(
                 blocks, id_col="fid", salt_cap=1000,
@@ -68,13 +77,16 @@ def main() -> None:
             fps.setdefault(name, fp)
             assert fps[name] == fp, f"{name} nondeterministic"
             print(f"rep{rep} prefilter={name}: {dt:.2f}s pairs={fp[0]}", flush=True)
-    assert fps["off"] == fps["on"], f"pair sets differ: {fps}"
-    b_off, b_on = min(walls["off"]), min(walls["on"])
+    assert fps["off"] == fps["on"] == fps["auto"], f"pair sets differ: {fps}"
+    b_off, b_on, b_auto = (min(walls[k]) for k in ("off", "on", "auto"))
     print(
         f"\n| band prefilter A/B ({n_rows} block rows, "
-        f"{100.0 * n_singleton / n_rows:.0f}% singleton keys, best-of-{reps}, "
-        f"alternated) | off {b_off:.2f}s | on {b_on:.2f}s | "
-        f"{b_off / b_on:.2f}x | pair sets identical ({fps['on'][0]} pairs) |",
+        f"{100.0 * n_singleton / n_rows:.0f}% singleton keys, "
+        f"members_mean={members_mean}, best-of-{reps}, alternated) "
+        f"| off {b_off:.2f}s | on {b_on:.2f}s | auto {b_auto:.2f}s | "
+        f"on/off {b_off / b_on:.2f}x | "
+        f"auto tracks {'on' if abs(b_auto-b_on) < abs(b_auto-b_off) else 'off'} "
+        f"| pair sets identical ({fps['on'][0]} pairs) |",
         flush=True,
     )
     spark.stop()

@@ -100,13 +100,61 @@ def test_duplicate_key_bitmap_marks_all_dup_keys(spark):
             + [(f"s{i}", 1000 + i) for i in range(50)]  # singletons
             + [("c", 77), ("d", 77)])       # dup (likely across partitions)
     df = spark.createDataFrame(rows, "file_id string, block_key long").repartition(8)
-    bm, lg = duplicate_key_bitmap(df, log2_slots=16)
+    bm, lg, stats = duplicate_key_bitmap(df, log2_slots=16)
+    # exact drop accounting: 50 singleton rows removable out of 54
+    assert stats["total_rows"] == 54
+    assert stats["dropped_rows"] == 50
+    assert abs(stats["drop_frac"] - 50 / 54) < 1e-12
     bits = np.unpackbits(bm)
     mask = (1 << lg) - 1
     for k in (5, 77):
         assert bits[k & mask] == 1
     marked = int(bits.sum())
     assert marked <= 2 + 50  # singletons only marked via (absent) collisions
+
+
+def test_prefilter_auto_decision(spark, monkeypatch):
+    """prefilter_log2_slots='auto' applies the (expensive) filter pass only
+    when the sketch-measured singleton fraction clears the threshold:
+    singleton-dominated blocks → filter on; dup-dominated blocks → filter
+    skipped (the r3 A/B's losing regime). Pair sets identical either way."""
+    import record_matching_spark.operators.blocking as B
+
+    calls = []
+    orig = B.filter_blocks_by_bitmap
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(B, "filter_blocks_by_bitmap", spy)
+
+    # 90% singleton rows → drop_frac ≈ 0.9 ≥ 0.5 → filter applied
+    high = spark.createDataFrame(
+        [(f"s{i}", 10_000 + i) for i in range(180)]
+        + [(f"d{i}", 20_000 + i // 2) for i in range(20)],
+        "file_id string, block_key long",
+    )
+    got = sorted(
+        (r["left"], r["right"])
+        for r in B.candidate_pairs(high, prefilter_log2_slots="auto").collect()
+    )
+    assert calls, "high-singleton corpus must trigger the filter"
+    want = sorted(
+        (r["left"], r["right"])
+        for r in B.candidate_pairs(high, prefilter_log2_slots=None).collect()
+    )
+    assert got == want
+
+    # every key duplicated → drop_frac 0 < 0.5 → sketch runs, filter skipped
+    calls.clear()
+    low = spark.createDataFrame(
+        [(f"d{i}", 30_000 + i // 2) for i in range(200)],
+        "file_id string, block_key long",
+    )
+    n = B.candidate_pairs(low, prefilter_log2_slots="auto").count()
+    assert not calls, "dup-dominated corpus must skip the filter"
+    assert n == 100
 
 
 def test_drop_cap_drops_mega_blocks(spark):

@@ -162,6 +162,28 @@ def test_wide_ids_equivalent(run, spark, truth_df, tmp_path_factory):
     assert partition_sig(a) == partition_sig(wide)
 
 
+def test_q30_golden_sha(spark):
+    """Byte-stability gate for the q30 driver query (VERDICT r3 item 9):
+    the full composed ER pipeline on the deterministic synthetic corpus
+    must reproduce this exact (file_id, cluster_id) relation — semantic
+    regressions in any composed stage can't hide behind a rows-only
+    driver check. Recompute with scripts: sort rows, sha256 the
+    'file_id,cluster_id' lines."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    df = em.queries()["q30_er_pipeline"](spark, "/root/testdata/sf0.01")
+    rows = sorted((r["file_id"], r["cluster_id"]) for r in df.collect())
+    sha = hashlib.sha256(
+        "\n".join(f"{a},{b}" for a, b in rows).encode()
+    ).hexdigest()
+    assert len(rows) == 262, len(rows)
+    assert sha == (
+        "65ccb782cd30128d371ebf4840783c124aa6d9b59e764cf1a0f5d97fe39c1c06"
+    ), sha
+
+
 def test_input_change_invalidates_checkpoint(spark, truth_df, tmp_path_factory):
     """ADVICE fix: rerunning the same workdir with CHANGED input must not
     silently reuse checkpoints computed from the old data."""

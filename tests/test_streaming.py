@@ -126,6 +126,59 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     assert not any(d == "C" for d, _ in edges), edges
 
 
+def test_streaming_near_dup_verify_threshold(spark, tmp_path):
+    """verify_threshold: a doc that lands in the representative's band but
+    is below the exact-Jaccard threshold produces NO edge (verify-then-emit,
+    batch parity), while a true near-dup passes with its jaccard attached.
+    rows_per_band=1 makes a band collision near-certain even at J≈0.33, so
+    the test exercises the reject path deterministically."""
+    from record_matching_spark.streaming.ops import (
+        run_stream_to_parquet,
+        streaming_near_dup,
+    )
+
+    src = tmp_path / "ndv_in"
+    dst = tmp_path / "ndv_out"
+    ckp = tmp_path / "ndv_ck"
+    schema = "doc_id string, text string"
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok7 ", "zzz7 ")  # J = 59/61 ≈ 0.967
+    half = " ".join(
+        [f"tok{i}" for i in range(30)] + [f"oth{i}" for i in range(30)]
+    )  # J vs base = 30/90 ≈ 0.33: collides on some band, fails verify
+
+    spark.createDataFrame([("A", base)], schema).write.parquet(
+        str(src), mode="append"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_parquet(
+            streaming_near_dup(
+                stream, text_col="text", id_col="doc_id",
+                num_hashes=32, num_bands=32, rows_per_band=1,
+                verify_threshold=0.9,
+            ),
+            str(dst), str(ckp),
+        )
+
+    run()
+    spark.createDataFrame([("B", near), ("H", half)], schema).write.parquet(
+        str(src), mode="append"
+    )
+    run()
+    out = spark.read.parquet(str(dst))
+    edges = out.filter("doc_id != rep_id").select(
+        "doc_id", "rep_id", "jaccard"
+    ).distinct().collect()
+    pairs = {(r["doc_id"], r["rep_id"]) for r in edges}
+    assert ("B", "A") in pairs, pairs          # cross-batch verified match
+    assert all(d != "H" for d, _ in pairs), pairs  # below-τ: no edge at all
+    assert all(abs(r["jaccard"] - 59 / 61) < 1e-12 for r in edges
+               if r["doc_id"] == "B"), edges
+
+
 def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     """Watermarked tumbling windows: rows later than the watermark behind
     the max seen timestamp are excluded from finalized windows."""
