@@ -22,6 +22,7 @@ tests/test_blocking.py::test_salting_pair_set_equivalence).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,8 +104,66 @@ def duplicate_key_bitmap(
         "total_rows": total_rows,
         "dropped_rows": dropped,
         "drop_frac": dropped / total_rows if total_rows else 0.0,
+        "n_dup_slots": int(dup_slots.size),
+        "dup_slots": dup_slots,
     }
     return np.packbits(bits), log2_slots, stats
+
+
+def singleton_row_frac(
+    blocks: DataFrame, key_col: str = "block_key", sample_mod: int = 64,
+    min_sample_rows: int = 5000,
+) -> float:
+    """Estimated fraction of block rows whose key occurs exactly once —
+    the rows the band prefilter would drop. Pure JVM: sample 1/sample_mod
+    of the KEY SPACE (keys are xxhash64 outputs, so `pmod(key, m) == 0`
+    is an unbiased key sample and keeps every occurrence of a sampled
+    key), then one tiny groupBy over ~rows/sample_mod rows. Falls back to
+    the exact full count when the sample is under min_sample_rows.
+    Unlike the duplicate_key_bitmap sketch this needs NO Arrow crossing
+    and NO materialization of `blocks`, so the auto-prefilter decision
+    costs ~nothing when the answer is 'off'."""
+    for mod in ([sample_mod, 1] if sample_mod > 1 else [1]):
+        s = blocks.select(F.col(key_col))
+        if mod > 1:
+            s = s.filter(F.pmod(F.col(key_col), F.lit(mod)) == 0)
+        row = (
+            s.groupBy(key_col)
+            .count()
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("count") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("singles"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        if row["rows"] >= min_sample_rows or mod == 1:
+            return row["singles"] / row["rows"] if row["rows"] else 0.0
+    return 0.0
+
+
+def filter_blocks_by_slot_join(
+    blocks: DataFrame, dup_slots: np.ndarray, log2_slots: int,
+    key_col: str = "block_key",
+) -> DataFrame:
+    """JVM-side prefilter: broadcast hash SEMI-join of blocks against the
+    dup-slot id list on `key & (2^log2_slots - 1)` — the same predicate as
+    the bitmap filter with ZERO Python/Arrow crossings on the big side
+    (the r4 A/B showed the Arrow filter pass dominating the prefilter's
+    cost; a broadcast semi-join scans blocks entirely inside whole-stage
+    codegen). dup_slots is small exactly when the prefilter is worth
+    running (high singleton fraction ⇒ few duplicated slots)."""
+    spark = blocks.sparkSession
+    mask = (1 << log2_slots) - 1
+    slots_df = spark.createDataFrame(
+        pd.DataFrame({"_slot": dup_slots.astype(np.int64)})
+    )
+    return blocks.join(
+        F.broadcast(slots_df),
+        F.col(key_col).bitwiseAND(F.lit(mask)) == F.col("_slot"),
+        "left_semi",
+    )
 
 
 def filter_blocks_by_bitmap(
@@ -206,7 +265,7 @@ def candidate_pairs(
     keep_block_key: bool = True,
     persist_blocks: bool = True,
     prefilter_log2_slots: int | str | None = None,
-    prefilter_auto_min_drop: float = 0.5,
+    prefilter_auto_min_drop: float = 0.95,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a (id, block_key) table.
 
@@ -237,32 +296,50 @@ def candidate_pairs(
     materialized blocks (the pipeline's parquet stage / the dedup path's
     localCheckpoint already do).
 
-    prefilter_log2_slots="auto" (VERDICT r3 item 8): the sketch always
-    runs (it's the cheap map-only pass and it measures the EXACT
-    removable-row fraction), but the filter pass — the expensive Arrow
-    round-trip over every block row — is applied only when
-    drop_frac ≥ prefilter_auto_min_drop. The r3 A/B measured the filter
-    LOSING 1.6× at a 21% singleton fraction and winning on
-    singleton-dominated corpora; the threshold defaults to the midpoint
-    regime boundary (scripts/prefilter_ab_bench.py carries both A/B
-    rows).
+    prefilter_log2_slots="auto" (VERDICT r3 item 8): the singleton-row
+    fraction is estimated first with a pure-JVM key-space sample
+    (`singleton_row_frac` — no Arrow crossing, no materialization,
+    ~rows/64 shuffled), and the prefilter machinery (bitmap sketch +
+    filter pass) engages only when the estimate clears
+    prefilter_auto_min_drop. CALIBRATION (r4, BENCH.md): on this
+    single-box tmpfs-shuffle rig the filter loses at EVERY measured
+    fraction — 1.7× at 21%, 2.2× at 51%, 4.3× at 86% singleton rows —
+    because one extra scan of blocks costs as much as the shuffle rows it
+    saves; the default threshold (0.95) therefore declines in all
+    measured regimes, matching the measured winner. The filter's real
+    regime is network-shuffle clusters where an exchanged row costs far
+    more than a scanned one — deployments there should LOWER the
+    threshold. Three-arm A/B evidence: scripts/prefilter_ab_bench.py.
     """
     if prefilter_log2_slots is not None:
         auto = prefilter_log2_slots == "auto"
         lg_req = 24 if auto else prefilter_log2_slots
-        if persist_blocks:
-            # materialize BEFORE the sketch pass so the sketch scan and the
-            # real pass don't each re-run the upstream signature UDFs; the
-            # post-census checkpoint below still happens (the self-join
-            # scans the much smaller censused b twice)
-            blocks = blocks.localCheckpoint(eager=True)
-        bitmap, lg, stats = duplicate_key_bitmap(
-            blocks, key_col="block_key", log2_slots=lg_req
-        )
-        if not auto or stats["drop_frac"] >= prefilter_auto_min_drop:
-            blocks = filter_blocks_by_bitmap(
-                blocks, bitmap, lg, key_col="block_key"
+        engage = True
+        if auto:
+            engage = (
+                singleton_row_frac(blocks, key_col="block_key")
+                >= prefilter_auto_min_drop
             )
+        if engage:
+            # the sketch + filter scan blocks twice on top of the main
+            # pass; the documented contract is that callers pass
+            # MATERIALIZED blocks (the pipeline reads a parquet stage, the
+            # dedup path localCheckpoints) so those extra scans don't
+            # re-run upstream UDFs — no redundant copy is made here (the
+            # r4 A/B measured the old internal re-checkpoint as pure loss).
+            bitmap, lg, stats = duplicate_key_bitmap(
+                blocks, key_col="block_key", log2_slots=lg_req
+            )
+            if stats["n_dup_slots"] <= 4_000_000:
+                # JVM broadcast semi-join on dup slots (≤ 32 MB broadcast):
+                # whole-stage-codegen filter, no Arrow crossing
+                blocks = filter_blocks_by_slot_join(
+                    blocks, stats["dup_slots"], lg, key_col="block_key"
+                )
+            else:
+                blocks = filter_blocks_by_bitmap(
+                    blocks, bitmap, lg, key_col="block_key"
+                )
     # repartition FIRST so the census window reuses the same hash
     # partitioning instead of shuffling twice (one exchange total).
     # The partition COUNT is explicit: the pair self-join EXPLODES row

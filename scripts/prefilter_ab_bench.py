@@ -16,7 +16,7 @@ regime where the filter should win and auto must switch it on;
 the default corpus is the ~21%-singleton regime where it loses and auto
 must switch it off. The auto arm's wall should track the winner in both.
 
-Usage: python scripts/prefilter_ab_bench.py [n_families=24000] [reps=3] [members_mean=4]
+Usage: python scripts/prefilter_ab_bench.py [n_families=24000] [reps=3] [members_mean=4] [heavy_families=2] [extra_singletons=0]
 """
 
 from __future__ import annotations
@@ -46,15 +46,28 @@ def main() -> None:
     fams = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     members_mean = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    heavy = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    extra_singletons = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     spark = get_spark(app_name="prefilter_ab", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     truth = synth_repo_files_with_truth(
         spark, n_families=fams, seed=42, members_mean=members_mean,
-        heavy_families=2,
+        heavy_families=heavy,
     )
     norm = normalize_files(repo_files(truth)).localCheckpoint(eager=True)
-    blocks = blocking_keys(norm, id_col="fid").localCheckpoint(eager=True)
+    blocks = blocking_keys(norm, id_col="fid")
+    if extra_singletons:
+        # the web-scale regime: most content unique, so most content-sha /
+        # token-sorted / LSH keys block nothing — modeled as unique-key
+        # rows unioned onto the real blocks (they form no pairs, so the
+        # pair-set equality assertion is unaffected)
+        noise = spark.range(extra_singletons).select(
+            (-F.col("id") - 1).alias("fid"),
+            F.xxhash64(F.lit("noise"), F.col("id")).alias("block_key"),
+        )
+        blocks = blocks.unionByName(noise)
+    blocks = blocks.localCheckpoint(eager=True)
     n_rows = blocks.count()
     n_singleton = (
         blocks.groupBy("block_key").count().filter(F.col("count") == 1).count()

@@ -115,24 +115,31 @@ def test_duplicate_key_bitmap_marks_all_dup_keys(spark):
 
 def test_prefilter_auto_decision(spark, monkeypatch):
     """prefilter_log2_slots='auto' applies the (expensive) filter pass only
-    when the sketch-measured singleton fraction clears the threshold:
-    singleton-dominated blocks → filter on; dup-dominated blocks → filter
-    skipped (the r3 A/B's losing regime). Pair sets identical either way."""
+    when the JVM-estimated singleton-row fraction clears the calibrated
+    threshold (0.95 — every measured lower fraction loses on this box,
+    BENCH.md): near-pure-singleton blocks → filter on; dup-dominated
+    blocks → filter skipped. Pair sets identical either way."""
     import record_matching_spark.operators.blocking as B
 
     calls = []
-    orig = B.filter_blocks_by_bitmap
+    orig_bm = B.filter_blocks_by_bitmap
+    orig_sj = B.filter_blocks_by_slot_join
 
-    def spy(*a, **k):
-        calls.append(1)
-        return orig(*a, **k)
+    def spy_bm(*a, **k):
+        calls.append("bitmap")
+        return orig_bm(*a, **k)
 
-    monkeypatch.setattr(B, "filter_blocks_by_bitmap", spy)
+    def spy_sj(*a, **k):
+        calls.append("slot_join")
+        return orig_sj(*a, **k)
 
-    # 90% singleton rows → drop_frac ≈ 0.9 ≥ 0.5 → filter applied
+    monkeypatch.setattr(B, "filter_blocks_by_bitmap", spy_bm)
+    monkeypatch.setattr(B, "filter_blocks_by_slot_join", spy_sj)
+
+    # 98% singleton rows → drop_frac ≈ 0.98 ≥ 0.95 → filter applied
     high = spark.createDataFrame(
-        [(f"s{i}", 10_000 + i) for i in range(180)]
-        + [(f"d{i}", 20_000 + i // 2) for i in range(20)],
+        [(f"s{i}", 10_000 + i) for i in range(490)]
+        + [(f"d{i}", 20_000 + i // 2) for i in range(10)],
         "file_id string, block_key long",
     )
     got = sorted(
@@ -146,7 +153,7 @@ def test_prefilter_auto_decision(spark, monkeypatch):
     )
     assert got == want
 
-    # every key duplicated → drop_frac 0 < 0.5 → sketch runs, filter skipped
+    # every key duplicated → drop_frac 0 < threshold → filter skipped
     calls.clear()
     low = spark.createDataFrame(
         [(f"d{i}", 30_000 + i // 2) for i in range(200)],
