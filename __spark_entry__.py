@@ -5,12 +5,13 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (32 of 36, including
-the q26/q29 recursive-CTE closures and the q24/q36 portable-md5-hash
-variants recomputed entirely in SQL). Rows-only by design: q25/q34
-approximate ANN (recall-gated), q27 media decode (no codecs in DuckDB),
-q30 the full ER pipeline on an in-flight synthetic corpus (golden-SHA
-pytest gate) — each carried by a pytest substitute instead.
+from SURVEY.md §2, DuckDB-oracled where expressible (33 of 37, including
+the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
+variants recomputed entirely in SQL, and q37's MOSS alignment spans).
+Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
+decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
+synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
+substitute instead.
 """
 
 from __future__ import annotations
@@ -396,6 +397,21 @@ def _q36_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q37_winnow_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS alignment half: overlapping pairs with the k-gram position
+    SPANS their shared winnowing fingerprints cover on each side
+    (SIGMOD'03 §4 — matched fingerprints are reported with positions).
+    portable md5 mode → the DuckDB oracle recomputes fingerprints AND
+    spans from the same window-min construction."""
+    from record_matching_spark.functions.text import winnow_span_pairs
+
+    d = _read(spark, sf, "documents")
+    return winnow_span_pairs(
+        d, id_col="doc_id", text_col="text", k=8, w=32, min_shared=2,
+        portable=True,
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -540,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ivf_topk": _q34_ivf_topk,
         "q35_canonical_fields": _q35_canonical_fields,
         "q36_winnow_overlap": _q36_winnow_overlap,
+        "q37_winnow_spans": _q37_winnow_spans,
     }
 
 
@@ -845,6 +862,41 @@ def oracle_sql() -> dict[str, str]:
             FROM filt a JOIN filt b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY "left", "right"
             HAVING count(*) >= 1
+        """,
+        "q37_winnow_spans": """
+            WITH pos AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)
+            ),
+            win AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fp,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p,
+                       count(*) OVER (PARTITION BY doc_id) AS m
+                FROM pos
+            ),
+            fps AS (
+                SELECT doc_id, fp, min(p) AS minp, max(p) AS maxp
+                FROM win WHERE p >= 31 OR p = m - 1
+                GROUP BY doc_id, fp
+            ),
+            filt AS (
+                SELECT doc_id, fp, minp, maxp FROM (
+                    SELECT doc_id, fp, minp, maxp,
+                           count(*) OVER (PARTITION BY fp) AS df
+                    FROM fps)
+                WHERE df <= 200
+            )
+            SELECT a.doc_id AS "left", b.doc_id AS "right",
+                   count(*) AS shared_fps,
+                   min(a.minp) AS l_start, max(a.maxp) AS l_end,
+                   min(b.minp) AS r_start, max(b.maxp) AS r_end
+            FROM filt a JOIN filt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY "left", "right"
+            HAVING count(*) >= 2
         """,
         "q22_embedding_topk": """
             WITH s AS (

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 # tiny deterministic stopword marker sets per language (heuristic lang-id)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -278,6 +278,151 @@ def winnow_overlap_pairs(
         .filter(F.col("left") < F.col("right"))
         .groupBy("left", "right")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def _winnow_one_pos(data: bytes, k: int, w: int) -> tuple:
+    """Like `_winnow_one` but also returns, per DISTINCT fingerprint, the
+    min and max WINDOW-END index at which it was selected (0-based over
+    k-gram positions) — the span evidence for MOSS-style alignment."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    empty = (np.empty(0, np.int64),) * 3
+    if n == 0:
+        return empty
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _WINNOW_BASE + b[j : j + 1]
+    else:
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * _WINNOW_BASE + b[j : n - k + 1 + j]
+    h ^= h >> np.uint64(33)
+    h *= _WINNOW_MIX
+    h ^= h >> np.uint64(29)
+    m = len(h)
+    if m <= w:
+        sel = h.min(keepdims=True)
+        pos = np.array([m - 1], dtype=np.int64)
+    else:
+        pad = (-m) % w
+        hp = np.concatenate([h, np.full(pad, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)])
+        blocks = hp.reshape(-1, w)
+        fwd = np.minimum.accumulate(blocks, axis=1).ravel()
+        bwd = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+        sel = np.minimum(bwd[: m - w + 1], fwd[w - 1 : m])
+        pos = np.arange(m - w + 1, dtype=np.int64) + (w - 1)
+    sv = sel.view(np.int64)
+    vals, first = np.unique(sv, return_index=True)       # pos ascending ⇒
+    minp = pos[first]                                    # first = min pos
+    _, last = np.unique(sv[::-1], return_index=True)
+    maxp = pos[len(sv) - 1 - last]
+    return vals, minp, maxp
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    min_shared: int = 2,
+    max_df: int = 200,
+    portable: bool = False,
+) -> DataFrame:
+    """MOSS-style shared-content pairs WITH span evidence: besides the
+    shared-fingerprint count, report per side the k-gram position range
+    the shared fingerprints cover — (left, right, shared_fps, l_start,
+    l_end, r_start, r_end), where positions are 0-based window-end k-gram
+    indices (char span ≈ [start, end + k - 1]). This is the alignment
+    half of MOSS (SIGMOD'03 §4: matched fingerprints are reported with
+    positions so reviewers can see WHERE documents overlap), which
+    winnow_overlap_pairs discards.
+
+    Scale shape identical to winnow_overlap_pairs: inverted index over
+    (id, fp, minp, maxp), max_df boilerplate cap before the self-join,
+    canonical left < right. portable=True (md5 k-gram hashes + running
+    window min, one ordered JVM scan) is the DuckDB-oracle-able mode
+    (q37); the default numpy rolling-hash path tracks selection positions
+    inside the same O(len) pass."""
+    if portable:
+        c = F.col(text_col)
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+        )
+        hashed = F.transform(
+            starts,
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        pos = df.select(
+            F.col(id_col).alias("_id"), F.posexplode(hashed).alias("p", "h")
+        )
+        wspec = Window.partitionBy("_id").orderBy("p")
+        win = pos.select(
+            "_id",
+            F.min("h").over(wspec.rowsBetween(-(w - 1), 0)).alias("fp"),
+            "p",
+            F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_m"),
+        ).filter((F.col("p") >= w - 1) | (F.col("p") == F.col("_m") - 1))
+        # long spans for schema parity with the numpy path (and the oracle)
+        inv = win.groupBy("_id", "fp").agg(
+            F.min("p").cast("long").alias("minp"),
+            F.max("p").cast("long").alias("maxp"),
+        )
+    else:
+
+        @pandas_udf(ArrayType(StructType([
+            StructField("fp", LongType()),
+            StructField("minp", LongType()),
+            StructField("maxp", LongType()),
+        ])))
+        def _fps_pos(texts: pd.Series) -> pd.Series:
+            rows = []
+            for t in texts:
+                vals, minp, maxp = _winnow_one_pos(
+                    (t or "").encode("utf-8", "surrogatepass"), k, w
+                )
+                rows.append(
+                    [
+                        {"fp": int(v), "minp": int(a), "maxp": int(b)}
+                        for v, a, b in zip(vals, minp, maxp)
+                    ]
+                )
+            return pd.Series(rows)
+
+        inv = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.explode(_fps_pos(F.col(text_col))).alias("s"),
+            )
+            .select("_id", "s.fp", "s.minp", "s.maxp")
+        )
+    inv = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_df)
+    a = inv.select(
+        "fp", F.col("_id").alias("left"),
+        F.col("minp").alias("_lmin"), F.col("maxp").alias("_lmax"),
+    )
+    b = inv.select(
+        "fp", F.col("_id").alias("right"),
+        F.col("minp").alias("_rmin"), F.col("maxp").alias("_rmax"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("left") < F.col("right"))
+        .groupBy("left", "right")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.min("_lmin").alias("l_start"),
+            F.max("_lmax").alias("l_end"),
+            F.min("_rmin").alias("r_start"),
+            F.max("_rmax").alias("r_end"),
+        )
         .filter(F.col("shared_fps") >= min_shared)
     )
 

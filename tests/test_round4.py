@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -115,6 +116,127 @@ def test_simhash_majority_two_tokens(spark):
     ).collect()
     a, b = (r["h"] & (2**64 - 1) for r in hs)
     assert got == (a & b), (hex(got), hex(a), hex(b))
+
+
+def test_jw_vectorized_matches_scalar():
+    """The batch-vectorized Jaro-Winkler must agree with the scalar
+    reference on every pair — property-tested over adversarial strings
+    (repeats, transpositions, prefixes, unicode, empties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from record_matching_spark.operators.scoring import (
+        _jaro_winkler,
+        _jw_batch,
+        _jw_batch_vec,
+    )
+
+    alphabet = st.sampled_from(list("abcXYZ/._é中0"))
+    strs = st.text(alphabet=alphabet, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(strs, strs), min_size=1, max_size=12))
+    def check(pairs):
+        av = [p[0] for p in pairs]
+        bv = [p[1] for p in pairs]
+        want = [_jaro_winkler(x, y) for x, y in pairs]
+        got_vec = _jw_batch_vec(av, bv)
+        got_dedup = _jw_batch(av, bv)
+        assert np.allclose(got_vec, want, atol=1e-12), (pairs, got_vec, want)
+        assert np.allclose(got_dedup, want, atol=1e-12)
+
+    check()
+
+
+def test_jw_known_values():
+    """Classic published Jaro-Winkler cases pin the constants."""
+    from record_matching_spark.operators.scoring import _jw_batch_vec
+
+    got = _jw_batch_vec(
+        ["MARTHA", "DIXON", "abc", "", "same"],
+        ["MARHTA", "DICKSONX", "abc", "x", "same"],
+    )
+    assert abs(got[0] - 0.9611111111111111) < 1e-12
+    assert abs(got[1] - 0.8133333333333332) < 1e-10
+    assert got[2] == 1.0 and got[3] == 0.0 and got[4] == 1.0
+
+
+def test_winnow_portable_array_matches_long_form(spark):
+    """The two portable winnowing paths — the array-expression form
+    (winnow_fingerprints(portable=True), O(m·w) slices) and the
+    posexplode+window long form used by winnow_overlap_pairs/q36 — must
+    select identical fingerprint sets per document."""
+    from record_matching_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "short"),
+        (3, ""),
+        (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (5, "x" * 7),   # shorter than k=8
+        (6, "exactly-w-grams " * 3),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    k, w = 8, 16
+    arr = {
+        r["doc_id"]: sorted(r["winnow_fps"])
+        for r in winnow_fingerprints(
+            df, text_col="text", k=k, w=w, portable=True
+        ).collect()
+    }
+    # long form: replicate the q36 inverted-index construction
+    from pyspark.sql import Window as W
+
+    c = F.col("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1)))
+    hashed = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    pos = df.select(F.col("doc_id"), F.posexplode(hashed).alias("p", "h"))
+    wspec = W.partitionBy("doc_id").orderBy("p")
+    win = pos.select(
+        "doc_id",
+        F.min("h").over(wspec.rowsBetween(-(w - 1), 0)).alias("fp"),
+        "p",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("m"),
+    ).filter((F.col("p") >= w - 1) | (F.col("p") == F.col("m") - 1))
+    long = {}
+    for r in win.select("doc_id", "fp").distinct().collect():
+        long.setdefault(r["doc_id"], []).append(r["fp"])
+    long = {d: sorted(v) for d, v in long.items()}
+    assert arr == long, (arr, long)
+
+
+def test_winnow_span_pairs_finds_shared_region(spark):
+    """MOSS alignment: two docs sharing a long substring must pair with
+    spans that LOCATE it — near the end of the doc that has it as a
+    suffix, near the start of the doc that has it as a prefix. Checked on
+    the production numpy path and the portable md5 path."""
+    from record_matching_spark.functions.text import winnow_span_pairs
+
+    shared = "the common plagiarised passage both documents carry " * 6
+    a_pre = "completely unrelated preamble text zzz " * 8
+    b_suf = " trailing unrelated conclusion qqq" * 8
+    df = spark.createDataFrame(
+        [(1, a_pre + shared), (2, shared + b_suf)],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        rows = winnow_span_pairs(
+            df, id_col="doc_id", text_col="text", k=8, w=16, min_shared=2,
+            portable=portable,
+        ).collect()
+        assert len(rows) == 1, (portable, rows)
+        r = rows[0]
+        assert (r["left"], r["right"]) == (1, 2)
+        assert r["shared_fps"] >= 2
+        # doc 2 carries the shared text as a PREFIX: its span starts early
+        assert r["r_start"] < len(shared) // 2, (portable, r)
+        # doc 1 carries it as a SUFFIX: its span ends deep into the doc
+        assert r["l_end"] > len(a_pre) - 1, (portable, r)
 
 
 def test_score_histogram_ignores_null_scores(spark):
