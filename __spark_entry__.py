@@ -5,9 +5,10 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (33 of 37, including
+from SURVEY.md §2, DuckDB-oracled where expressible (34 of 38, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
-variants recomputed entirely in SQL, and q37's MOSS alignment spans).
+variants recomputed entirely in SQL, q37's MOSS alignment spans, and
+q38's cross-corpus decontamination).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -412,6 +413,24 @@ def _q37_winnow_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EVAL_SOURCES = ("src0", "src1", "src2")
+
+
+def _q38_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: cross-corpus decontamination — near-dup pairs
+    BETWEEN a training split and a held-out/benchmark split (sources
+    src0-src2 stand in for the benchmark side), probe side broadcast so
+    the big corpus never shuffles. Oracle = brute-force token Jaccard
+    between the two subsets (at b=32, r=4 a J≥0.9 pair escapes LSH with
+    prob ≤ 1e-15)."""
+    from record_matching_spark.functions.dedup import cross_corpus_near_dup_pairs
+
+    d = _read(spark, sf, "documents")
+    probe = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    corpus = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return cross_corpus_near_dup_pairs(corpus, probe, threshold=0.9)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -557,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_canonical_fields": _q35_canonical_fields,
         "q36_winnow_overlap": _q36_winnow_overlap,
         "q37_winnow_spans": _q37_winnow_spans,
+        "q38_decontamination": _q38_decontamination,
     }
 
 
@@ -897,6 +917,22 @@ def oracle_sql() -> dict[str, str]:
             FROM filt a JOIN filt b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY "left", "right"
             HAVING count(*) >= 2
+        """,
+        "q38_decontamination": f"""
+            WITH t AS (SELECT doc_id, text, source,
+                              list_sort(list_distinct({_TOKS})) AS toks
+                       FROM documents),
+            c AS (SELECT * FROM t WHERE source NOT IN ('src0','src1','src2')),
+            p AS (SELECT * FROM t WHERE source IN ('src0','src1','src2'))
+            SELECT corpus_id, probe_id, jaccard FROM (
+                SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+                       CASE WHEN len(list_distinct(list_concat(c.toks, p.toks))) = 0
+                            THEN (CASE WHEN c.text = p.text THEN 1.0 ELSE 0.0 END)
+                            ELSE len(list_intersect(c.toks, p.toks))::DOUBLE
+                                 / len(list_distinct(list_concat(c.toks, p.toks)))
+                       END AS jaccard
+                FROM c, p)
+            WHERE jaccard >= 0.9
         """,
         "q22_embedding_topk": """
             WITH s AS (

@@ -224,6 +224,107 @@ def minhash_near_dup_pairs(
     )
 
 
+def cross_corpus_near_dup_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Decontamination: near-duplicate pairs BETWEEN two corpora — find
+    training documents that leak evaluation/benchmark content (the
+    train/test-overlap removal step every large-scale training-data
+    pipeline needs; no within-side pairs are emitted).
+
+    Scale shape for the real use (100-TB corpus × small benchmark set):
+    the PROBE side's LSH band keys and token-hash features broadcast
+    (benchmarks are ≤ millions of rows), so the big corpus is never
+    shuffled — it streams through band computation, a broadcast hash join
+    on band keys, and a broadcast feature attach: two map-only scans of
+    the corpus, zero corpus-sized exchanges. Candidates are exact-verified
+    with token Jaccard ≥ threshold exactly like minhash_near_dup_pairs
+    (LSH is recall machinery, not the decision); identical text across
+    corpora is ALWAYS a candidate via the content-sha key regardless of
+    tokenization. Output: (corpus_id, probe_id, jaccard).
+    """
+    def _tok(c):
+        if shingle_k is not None:
+            return char_shingles(c, shingle_k)
+        return tokenize(c)
+
+    def _bands(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
+        )
+        sigs = with_minhash_signature(
+            toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
+        )
+        b = minhash_bands(sigs, id_col="_id",
+                          num_bands=num_bands, rows_per_band=rows_per_band)
+        return b.unionByName(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.xxhash64(F.lit("cs"), F.col(text_col)).alias("block_key"),
+            )
+        )
+
+    def _feats(df: DataFrame, idname: str, suf: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(_tok(F.col(text_col))),
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias(f"_t{suf}"),
+            F.xxhash64(F.col(text_col)).alias(f"_sha_{suf}"),
+            F.size(
+                F.array_distinct(_tok(F.col(text_col)))
+            ).alias(f"_n{suf}"),
+        )
+
+    pb = _bands(probe).withColumnRenamed("_id", "probe_id")
+    pf = _feats(probe, "probe_id", "b")
+    if broadcast_probe:
+        pb, pf = F.broadcast(pb), F.broadcast(pf)
+    cand = (
+        _bands(corpus)
+        .join(pb, "block_key")
+        .select(F.col("_id").alias("corpus_id"), "probe_id")
+        .distinct()
+    )
+    cf = _feats(corpus, "corpus_id", "a")
+    union_sz = F.size(F.array_union("_ta", "_tb"))
+    empty_case = F.when(
+        F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    size_ok = (
+        F.least("_na", "_nb").cast("double")
+        / F.greatest("_na", "_nb", F.lit(1))
+        >= F.lit(threshold - 1e-9)
+    ) | ((F.col("_na") == 0) & (F.col("_nb") == 0))
+    return (
+        cand.join(cf, "corpus_id")
+        .join(pf, "probe_id")
+        .filter(size_ok)
+        .withColumn(
+            "jaccard",
+            F.when(union_sz == 0, empty_case).otherwise(
+                F.size(F.array_intersect("_ta", "_tb")).cast("double")
+                / union_sz
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "probe_id", "jaccard")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               out_col: str = "simhash", portable: bool = False) -> DataFrame:
     """64-bit SimHash of the token multiset (Charikar 2002): sign of the

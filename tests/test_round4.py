@@ -239,6 +239,38 @@ def test_winnow_span_pairs_finds_shared_region(spark):
         assert r["l_end"] > len(a_pre) - 1, (portable, r)
 
 
+def test_cross_corpus_decontamination(spark):
+    """Planted contamination across corpora is found; unrelated docs and
+    WITHIN-side near-dups produce no pairs; an exact cross-side copy is
+    caught via the content-sha key even for empty-token text."""
+    from record_matching_spark.functions.dedup import cross_corpus_near_dup_pairs
+
+    bench = " ".join(f"eval{i}" for i in range(60))
+    leak = bench.replace("eval7 ", "zzz7 ")       # J = 59/61 ≈ 0.967
+    clean = " ".join(f"train{i}" for i in range(60))
+    clean2 = clean.replace("train3 ", "qqq3 ")    # within-corpus near-dup
+    sym = "!!! ??? !!!"                           # tokenizes to empty
+
+    corpus = spark.createDataFrame(
+        [(1, leak), (2, clean), (3, clean2), (4, sym)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(101, bench), (102, "totally different benchmark prompt"),
+         (104, sym)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["corpus_id"], r["probe_id"]): r["jaccard"]
+        for r in cross_corpus_near_dup_pairs(
+            corpus, probe, threshold=0.9
+        ).collect()
+    }
+    assert (1, 101) in rows and abs(rows[(1, 101)] - 59 / 61) < 1e-12, rows
+    assert (4, 104) in rows and rows[(4, 104)] == 1.0, rows  # sha key
+    assert all(c in (1, 4) for c, _ in rows), rows  # no clean/within pairs
+
+
 def test_score_histogram_ignores_null_scores(spark):
     """ADVICE r3: null/NaN scores must be dropped, not crash the fill
     loop with a None bin."""
