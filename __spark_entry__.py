@@ -5,10 +5,13 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (34 of 38, including
+from SURVEY.md §2, DuckDB-oracled where expressible (37 of 41, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
-variants recomputed entirely in SQL, q37's MOSS alignment spans, and
-q38's cross-corpus decontamination).
+variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
+cross-corpus decontamination, q39's C4-style line-level dedup, q40's
+Gopher repetition signals, and q41's surgical span-level
+decontamination — the reconstructed post-excision text pinned by sha256
+in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -413,6 +416,36 @@ def _q37_winnow_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q39_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: C4-style line-level dedup — trimmed non-empty
+    lines occurring in ≥ 2 distinct docs are boilerplate and removed from
+    every doc; remaining lines keep their order (inverted-index shape,
+    q08's ordered-agg rebuild). dedup_sha pins the reconstructed text
+    byte-for-byte against the DuckDB oracle."""
+    from record_matching_spark.functions.dedup import dedup_lines
+
+    d = _read(spark, sf, "documents")
+    return dedup_lines(d, text_col="text", id_col="doc_id", min_docs=2)
+
+
+def _q40_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: Gopher-style repetition signals (duplicate-line
+    fraction, duplicate-line char fraction, most-frequent-2-gram coverage)
+    — the repetition filters public training pipelines apply, pure
+    Catalyst."""
+    from record_matching_spark.functions.text import repetition_features
+
+    d = _read(spark, sf, "documents")
+    r = repetition_features(d, id_col="doc_id", text_col="text")
+    return r.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "top_2gram",
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+    )
+
+
 _EVAL_SOURCES = ("src0", "src1", "src2")
 
 
@@ -429,6 +462,24 @@ def _q38_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     probe = d.filter(F.col("source").isin(*_EVAL_SOURCES))
     corpus = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
     return cross_corpus_near_dup_pairs(corpus, probe, threshold=0.9)
+
+
+def _q41_span_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: SURGICAL decontamination — excise only the
+    character span a training doc shares with the benchmark/probe split
+    (winnowing position index both sides, probe fingerprint set broadcast,
+    gaps-and-islands span merge, ordered complement rebuild) instead of
+    dropping the whole doc (q38). clean_sha pins every reconstructed doc
+    byte-for-byte against the DuckDB oracle."""
+    from record_matching_spark.functions.text import excise_contaminated_spans
+
+    d = _read(spark, sf, "documents")
+    probe = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    corpus = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return excise_contaminated_spans(
+        corpus, probe, id_col="doc_id", text_col="text", k=8, w=32,
+        portable=True,
+    )
 
 
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -577,6 +628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_winnow_overlap": _q36_winnow_overlap,
         "q37_winnow_spans": _q37_winnow_spans,
         "q38_decontamination": _q38_decontamination,
+        "q39_line_dedup": _q39_line_dedup,
+        "q40_repetition": _q40_repetition,
+        "q41_span_decontamination": _q41_span_decontamination,
     }
 
 
@@ -933,6 +987,167 @@ def oracle_sql() -> dict[str, str]:
                        END AS jaccard
                 FROM c, p)
             WHERE jaccard >= 0.9
+        """,
+        "q41_span_decontamination": """
+            WITH pos AS (
+                SELECT doc_id, source, i,
+                       ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)
+            ),
+            win AS (
+                SELECT doc_id, source,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fp,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p,
+                       count(*) OVER (PARTITION BY doc_id) AS m
+                FROM pos
+            ),
+            fps AS (
+                SELECT doc_id, source, fp, min(p) AS minp, max(p) AS maxp
+                FROM win WHERE p >= 31 OR p = m - 1
+                GROUP BY doc_id, source, fp
+            ),
+            pf AS (SELECT DISTINCT fp FROM fps
+                   WHERE source IN ('src0','src1','src2')),
+            hits AS (
+                SELECT f.doc_id, greatest(f.minp - 31, 0) AS s, f.maxp + 7 AS e
+                FROM fps f JOIN pf USING (fp)
+                WHERE f.source NOT IN ('src0','src1','src2')
+            ),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(
+                                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -2) + 1
+                            THEN 1 ELSE 0 END AS nw
+                FROM hits
+            ),
+            merged AS (
+                SELECT i.doc_id, min(s) AS s,
+                       least(max(e), length(d.text) - 1) AS e
+                FROM (SELECT doc_id, s, e,
+                             sum(nw) OVER (PARTITION BY doc_id
+                                           ORDER BY s, e) AS island
+                      FROM isl) i
+                JOIN documents d USING (doc_id)
+                GROUP BY i.doc_id, i.island, length(d.text)
+            ),
+            segs AS (
+                SELECT doc_id,
+                       coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                                + 1, 0) AS ks,
+                       s - 1 AS ke
+                FROM merged
+                UNION ALL
+                SELECT m.doc_id, max(m.e) + 1 AS ks,
+                       length(d.text) - 1 AS ke
+                FROM merged m JOIN documents d USING (doc_id)
+                GROUP BY m.doc_id, length(d.text)
+            ),
+            rebuilt AS (
+                SELECT s.doc_id,
+                       string_agg(substr(d.text, ks + 1, ke - ks + 1),
+                                  '' ORDER BY ks) AS ct
+                FROM segs s JOIN documents d USING (doc_id)
+                WHERE ks <= ke
+                GROUP BY s.doc_id
+            ),
+            stats AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(e - s + 1) AS removed
+                FROM merged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+                   sha256(CASE WHEN st.doc_id IS NOT NULL
+                               THEN coalesce(rb.ct, '')
+                               ELSE d.text END) AS clean_sha
+            FROM documents d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN rebuilt rb USING (doc_id)
+            WHERE d.source NOT IN ('src0','src1','src2')
+        """,
+        "q39_line_dedup": """
+            WITH ex AS (
+                SELECT doc_id, i AS pos, ls[i] AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM documents),
+                     unnest(generate_series(1, len(ls))) AS g(i)
+            ),
+            bad AS (
+                SELECT trim(line) AS tl
+                FROM ex WHERE trim(line) <> ''
+                GROUP BY tl HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM ex
+                WHERE trim(line) = '' OR trim(line) NOT IN (SELECT tl FROM bad)
+            ),
+            reb AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS dt
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   sha256(coalesce(reb.dt, '')) AS dedup_sha
+            FROM documents d LEFT JOIN reb USING (doc_id)
+        """,
+        "q40_repetition": r"""
+            WITH lines AS (
+                SELECT doc_id, trim(l) AS line
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+                WHERE trim(l) <> ''
+            ),
+            lc AS (SELECT doc_id, line, count(*) AS cnt
+                   FROM lines GROUP BY doc_id, line),
+            ls AS (
+                SELECT doc_id,
+                       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
+                         / sum(cnt) AS dup_line_frac,
+                       sum(CASE WHEN cnt >= 2 THEN cnt * length(line)
+                                ELSE 0 END)::DOUBLE
+                         / greatest(sum(cnt * length(line)), 1)
+                         AS dup_line_char_frac
+                FROM lc GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> len(x) > 0) AS tk,
+                       length(text) AS tlen
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram, tlen
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+            ),
+            gw AS (
+                SELECT doc_id, gram, cnt, tlen,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram) AS rn
+                FROM (SELECT doc_id, gram, count(*) AS cnt, min(tlen) AS tlen
+                      FROM grams GROUP BY doc_id, gram)
+            ),
+            tg AS (
+                SELECT doc_id, gram AS top_2gram,
+                       cnt * length(gram)::DOUBLE / greatest(tlen, 1) AS tgf
+                FROM gw WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   round(coalesce(ls.dup_line_frac, 0.0), 6) AS dup_line_frac,
+                   round(coalesce(ls.dup_line_char_frac, 0.0), 6)
+                       AS dup_line_char_frac,
+                   coalesce(tg.top_2gram, '') AS top_2gram,
+                   round(coalesce(tg.tgf, 0.0), 6) AS top_2gram_char_frac
+            FROM documents d LEFT JOIN ls USING (doc_id)
+                             LEFT JOIN tg USING (doc_id)
         """,
         "q22_embedding_topk": """
             WITH s AS (

@@ -12,7 +12,12 @@ Protocol (round-2 hardening per VERDICT):
   /tmp keyed by its parameters, so corpus generation never pollutes timings.
 - the Spark session restarts between the ER section and the headline
   queries (grown Python UDF workers + shuffle residue otherwise taxes the
-  later queries).
+  later queries), and AGAIN before the q19/q20 dedup pair (VERDICT r4
+  item 1: their samples were bimodal under residue + tenant load, so they
+  get their own session like the ER section).
+- the 1-min loadavg at the launch of each query's best rep is recorded in
+  extra.loadavg — the same-moment contention evidence that adjudicated the
+  r4 q20 sample.
 
 Every query is forced through the noop sink (full materialization, no
 column-pruning escape hatch). `value` = total seconds across queries.
@@ -122,11 +127,15 @@ def main() -> None:
         t["er_clustering"] = time.monotonic() - t0
         return t
 
+    loadavgs: dict[str, float] = {}
+
     best = None
     for _ in range(REPS):
+        la = os.getloadavg()[0]
         r = er_rep()
         if best is None or r["er_pair_scoring"] < best["er_pair_scoring"]:
             best = r
+            loadavgs["er_section"] = round(la, 2)
     extra["er_files"] = best["er_files"]
     extra["er_candidate_pairs"] = best["er_candidate_pairs"]
     for k in ("er_blocking_pairs", "er_pair_scoring", "er_clustering"):
@@ -142,24 +151,37 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="rmspark-bench-queries")
 
+    def run_best_of(spark, name: str) -> None:
+        best_t = float("inf")
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            la = os.getloadavg()[0]
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, SF_DIR))
+            dt = time.monotonic() - t0
+            if dt < best_t:
+                best_t = dt
+                loadavgs[name] = round(la, 2)
+        timings[name] = round(best_t, 3)
+
     # --- headline testdata queries (best-of-REPS each) --------------------
     for name in [
         "q01_pricing_summary",
         "q05_lineitem_pairs",
         "q06_top_orders_per_cust",
-        "q19_shingle_dedup",
-        "q20_minhash_dedup",
         "q21_cc_groups",
         "q22_embedding_topk",
     ]:
-        best_t = float("inf")
-        for _ in range(REPS):
-            spark.catalog.clearCache()
-            t0 = time.monotonic()
-            _materialize(qs[name](spark, SF_DIR))
-            best_t = min(best_t, time.monotonic() - t0)
-        timings[name] = round(best_t, 3)
+        run_best_of(spark, name)
 
+    # q19/q20 in their OWN fresh session (VERDICT r4 item 1): the dedup
+    # pair is the most residue-sensitive measurement in the suite
+    spark.stop()
+    spark = get_spark(app_name="rmspark-bench-dedup")
+    for name in ["q19_shingle_dedup", "q20_minhash_dedup"]:
+        run_best_of(spark, name)
+
+    extra["loadavg"] = loadavgs
     out = {
         "metric": "total_bench_seconds",
         "value": round(sum(timings.values()), 3),

@@ -5,6 +5,8 @@ from record_matching_spark.functions.text import (  # noqa: F401
     doc_fingerprint,
     winnow_fingerprints,
     winnow_overlap_pairs,
+    winnow_span_pairs,
+    repetition_features,
 )
 from record_matching_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -12,12 +14,15 @@ from record_matching_spark.functions.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
+    cross_corpus_near_dup_pairs,
+    dedup_lines,
 )
 from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_tiled,
     ivf_cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     lsh_cosine_topk,
 )
 from record_matching_spark.functions.search import search_text  # noqa: F401

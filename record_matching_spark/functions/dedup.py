@@ -419,3 +419,78 @@ def simhash_near_dup_pairs(
         .select("left", "right", "hamming")
         .distinct()
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_text: bool = False,
+) -> DataFrame:
+    """C4-style LINE-level deduplication: a (space-trimmed, non-empty) line
+    that occurs in >= `min_docs` DISTINCT documents is boilerplate (license
+    headers, nav bars, footer chrome) and every occurrence is removed; each
+    document keeps its remaining lines in original order. This is the
+    classic training-data dedup mode between exact whole-doc dedup and
+    near-dup (C4, Raffel et al. 2020 removed three-sentence spans repeated
+    across the corpus; lines are the code/web analog the reference's
+    pandas pipeline never needed at its scale).
+
+    Scale shape — inverted index, never all-pairs:
+    1. posexplode lines (one shuffle-free map);
+    2. distinct (doc, line-hash) -> groupBy(line-hash) count = doc
+       frequency: one exchange on the 8-byte hash, map-side partial aggs;
+    3. boilerplate hash set joins back BROADCAST-sized in the common case
+       (boilerplate is by definition a small distinct set; Spark's AQE
+       picks the strategy from the actual count);
+    4. rebuild text with sort_array(collect_list(struct(pos, line))) —
+       the q08 ordered-agg idiom.
+    Empty/whitespace-only lines are never counted as boilerplate and are
+    always kept (they carry document structure, not content).
+
+    Output: (id_col, n_lines, n_kept, dedup_sha) + optionally dedup_text;
+    every input doc appears (docs reduced to nothing get dedup_sha of '').
+    Fully SQL-expressible -> DuckDB-oracled as q39."""
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn(
+        "_lh",
+        F.when(
+            F.trim(F.col("line")) != "", F.xxhash64(F.lit("ln"), F.trim(F.col("line")))
+        ),
+    )
+    bad = (
+        ex.filter(F.col("_lh").isNotNull())
+        .select(F.col(id_col), "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_lh")
+    )
+    # null _lh (blank lines) never matches the anti-join probe -> kept
+    kept = ex.join(bad, "_lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("dedup_text"),
+    )
+    out = (
+        df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.sha2(F.coalesce(F.col("dedup_text"), F.lit("")), 256).alias("dedup_sha"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+    return out if keep_text else out.drop("dedup_text")

@@ -322,31 +322,21 @@ def _winnow_one_pos(data: bytes, k: int, w: int) -> tuple:
     return vals, minp, maxp
 
 
-def winnow_span_pairs(
+def winnow_position_index(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
     k: int = 8,
     w: int = 64,
-    min_shared: int = 2,
-    max_df: int = 200,
     portable: bool = False,
 ) -> DataFrame:
-    """MOSS-style shared-content pairs WITH span evidence: besides the
-    shared-fingerprint count, report per side the k-gram position range
-    the shared fingerprints cover — (left, right, shared_fps, l_start,
-    l_end, r_start, r_end), where positions are 0-based window-end k-gram
-    indices (char span ≈ [start, end + k - 1]). This is the alignment
-    half of MOSS (SIGMOD'03 §4: matched fingerprints are reported with
-    positions so reviewers can see WHERE documents overlap), which
-    winnow_overlap_pairs discards.
-
-    Scale shape identical to winnow_overlap_pairs: inverted index over
-    (id, fp, minp, maxp), max_df boilerplate cap before the self-join,
-    canonical left < right. portable=True (md5 k-gram hashes + running
-    window min, one ordered JVM scan) is the DuckDB-oracle-able mode
-    (q37); the default numpy rolling-hash path tracks selection positions
-    inside the same O(len) pass."""
+    """Positional winnowing inverted index: one row per (doc, DISTINCT
+    fingerprint) with the min/max window-end k-gram index at which it was
+    selected — (_id, fp, minp, maxp). Shared by winnow_span_pairs (the
+    MOSS alignment join) and excise_contaminated_spans (surgical
+    decontamination). portable=True = the md5 k-gram + running-window-min
+    construction the DuckDB oracles replay; default = the O(len) numpy
+    rolling-hash pass."""
     if portable:
         c = F.col(text_col)
         starts = F.sequence(
@@ -401,6 +391,37 @@ def winnow_span_pairs(
             )
             .select("_id", "s.fp", "s.minp", "s.maxp")
         )
+    return inv
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    min_shared: int = 2,
+    max_df: int = 200,
+    portable: bool = False,
+) -> DataFrame:
+    """MOSS-style shared-content pairs WITH span evidence: besides the
+    shared-fingerprint count, report per side the k-gram position range
+    the shared fingerprints cover — (left, right, shared_fps, l_start,
+    l_end, r_start, r_end), where positions are 0-based window-end k-gram
+    indices (char span ≈ [start, end + k - 1]). This is the alignment
+    half of MOSS (SIGMOD'03 §4: matched fingerprints are reported with
+    positions so reviewers can see WHERE documents overlap), which
+    winnow_overlap_pairs discards.
+
+    Scale shape identical to winnow_overlap_pairs: inverted index over
+    (id, fp, minp, maxp), max_df boilerplate cap before the self-join,
+    canonical left < right. portable=True (md5 k-gram hashes + running
+    window min, one ordered JVM scan) is the DuckDB-oracle-able mode
+    (q37); the default numpy rolling-hash path tracks selection positions
+    inside the same O(len) pass."""
+    inv = winnow_position_index(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    )
     inv = inv.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("_df") <= max_df)
@@ -424,6 +445,225 @@ def winnow_span_pairs(
             F.max("_rmax").alias("r_end"),
         )
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    portable: bool = False,
+    keep_text: bool = False,
+) -> DataFrame:
+    """SURGICAL cross-corpus decontamination: instead of dropping a whole
+    training document that shares content with a benchmark/probe document
+    (cross_corpus_near_dup_pairs / q38), excise ONLY the contaminated
+    character span(s) and keep the rest — the chunk-level dedup public
+    pipelines apply when a long document quotes a benchmark item verbatim.
+
+    Mechanics: winnowing position index on both sides (SIGMOD'03 — any
+    shared substring of length >= w + k - 1 is guaranteed to share a
+    selected fingerprint); every corpus fingerprint found in the probe SET
+    marks the CONSERVATIVE char interval its selection windows cover,
+    [minp - (w-1), maxp + k - 1] (window-end k-gram index p covers k-grams
+    p-w+1..p, i.e. chars p-w+1..p+k-1); overlapping/adjacent intervals
+    merge (gaps-and-islands over a per-doc window); the kept text is the
+    ordered concatenation of the complement segments. Conservative by
+    construction: everything the matched windows could have covered goes,
+    so a guaranteed-detected overlap is guaranteed-removed; the price is
+    up to w+k-2 extra chars clipped at each span boundary.
+
+    Scale shape (the q38 contract): the probe fingerprint set is DISTINCT
+    + broadcast — the corpus crosses ONE map-side hash join and never
+    shuffles for candidate generation; the span merge windows and the
+    rebuild agg all partition by the corpus doc id (one exchange, reused);
+    probe-side work is proportional to the (small) probe corpus.
+
+    Output: (id_col, n_spans, removed_chars, clean_sha) — plus clean_text
+    when keep_text — one row per corpus doc; uncontaminated docs pass
+    through byte-identical. Fully SQL-expressible in portable mode ->
+    DuckDB oracle q41."""
+    c_inv = winnow_position_index(
+        corpus, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    )
+    p_fps = winnow_position_index(
+        probe, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    ).select("fp").distinct()
+    docs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    hits = c_inv.join(F.broadcast(p_fps), "fp").select(
+        "_id",
+        F.greatest(F.col("minp") - F.lit(w - 1), F.lit(0)).alias("s"),
+        (F.col("maxp") + F.lit(k - 1)).alias("e"),
+    )
+    # merge overlapping/adjacent [s, e] intervals: island starts where s
+    # jumps past the running max end (+1 = adjacency also merges)
+    w_ord = Window.partitionBy("_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        hits.withColumn(
+            "_new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+        .groupBy("_id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .join(docs.select("_id", "_len"), "_id")
+        # a short doc (< k chars) hashes as one whole-text k-gram whose
+        # nominal end k-1 can overrun the text — clamp to the real end
+        .withColumn("e", F.least(F.col("e"), F.col("_len") - 1))
+    )
+    # complement segments: before each island, plus the tail after the last
+    w_seg = Window.partitionBy("_id").orderBy("s")
+    pre = merged.select(
+        "_id",
+        F.coalesce(F.lag("e").over(w_seg) + 1, F.lit(0)).alias("ks"),
+        (F.col("s") - 1).alias("ke"),
+    )
+    tail = merged.groupBy("_id").agg(
+        (F.max("e") + 1).alias("ks"), (F.max("_len") - 1).alias("ke")
+    )
+    segs = pre.unionByName(tail).filter(F.col("ks") <= F.col("ke"))
+    rebuilt = (
+        segs.join(docs.select("_id", "_t"), "_id")
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "ks",
+                                F.substring(
+                                    F.col("_t"), F.col("ks") + 1,
+                                    F.col("ke") - F.col("ks") + 1,
+                                ).alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda st: st["seg"],
+                ),
+            ).alias("_clean")
+        )
+    )
+    stats = merged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    out = (
+        docs.join(stats, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias(
+                "removed_chars"
+            ),
+            F.when(
+                F.col("n_spans").isNotNull(), F.coalesce("_clean", F.lit(""))
+            ).otherwise(F.col("_t")).alias("clean_text"),
+        )
+        .withColumn("clean_sha", F.sha2("clean_text", 256))
+    )
+    cols = [id_col, "n_spans", "removed_chars", "clean_sha"]
+    return out.select(*cols, "clean_text") if keep_text else out.select(*cols)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, Table A1 —
+    the repetition rules public pipelines filter on), all pure Catalyst:
+
+    - dup_line_frac: fraction of (space-trimmed, non-empty) lines whose
+      content occurs >= 2 times within the document;
+    - dup_line_char_frac: fraction of those lines' characters over all
+      non-empty-line characters (duplicated-line occurrences count fully);
+    - top_2gram: the document's most frequent whitespace-token 2-gram
+      (ties -> lexicographically smallest; '' when < 2 tokens);
+    - top_2gram_char_frac: occurrences x len(top_2gram) / len(text) — the
+      fraction of the document the single most repeated 2-gram covers.
+
+    Per-doc line statistics stay inside ONE hash aggregate over the
+    exploded (doc, line) stream; the 2-gram winner is a groupBy + window
+    row_number (both shuffles are on id_col and reuse its hash
+    partitioning under AQE). No UDFs, fully SQL-expressible -> DuckDB
+    oracle q40. Every input row appears in the output (docs with no
+    content get 0.0 fractions)."""
+    c = F.col(text_col)
+    nonempty = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    line_stats = (
+        df.select(F.col(id_col), F.explode(nonempty).alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+                / F.sum("cnt")
+            ).alias("dup_line_frac"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.length("line")
+                    ).otherwise(0)
+                )
+                / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    toks = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gram_w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top_gram = (
+        df.select(
+            F.col(id_col), F.explode(grams).alias("gram"),
+            F.length(c).alias("_tlen"),  # only the length rides the shuffle
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("_tlen").alias("_tlen"))
+        .withColumn("rn", F.row_number().over(gram_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_2gram"),
+            (
+                F.col("cnt") * F.length("gram")
+                / F.greatest(F.col("_tlen"), F.lit(1))
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(line_stats, id_col, "left")
+        .join(top_gram, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias(
+                "top_2gram_char_frac"
+            ),
+        )
     )
 
 

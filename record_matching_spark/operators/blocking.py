@@ -153,11 +153,18 @@ def filter_blocks_by_slot_join(
     (the r4 A/B showed the Arrow filter pass dominating the prefilter's
     cost; a broadcast semi-join scans blocks entirely inside whole-stage
     codegen). dup_slots is small exactly when the prefilter is worth
-    running (high singleton fraction ⇒ few duplicated slots)."""
+    running (high singleton fraction ⇒ few duplicated slots).
+
+    An EMPTY dup_slots (100%-singleton corpus — every block key unique, so
+    zero candidate pairs) short-circuits to an always-false filter: the
+    semantically identical result without tripping pandas empty-schema
+    inference (ADVICE r4)."""
     spark = blocks.sparkSession
+    if dup_slots.size == 0:
+        return blocks.filter(F.lit(False))
     mask = (1 << log2_slots) - 1
     slots_df = spark.createDataFrame(
-        pd.DataFrame({"_slot": dup_slots.astype(np.int64)})
+        pd.DataFrame({"_slot": dup_slots.astype(np.int64)}), schema="_slot long"
     )
     return blocks.join(
         F.broadcast(slots_df),

@@ -1,6 +1,8 @@
 """Self-check: run every __spark_entry__ query against its DuckDB oracle
 (row count + column names + order-insensitive value multiset), mimicking the
-driver's CORRECTNESS gate. Usage: python scripts/check_oracles.py [sf_dir]."""
+driver's CORRECTNESS gate.
+Usage: python scripts/check_oracles.py [sf_dir] [query_substr ...]
+— extra args filter to queries whose name contains any substring."""
 
 from __future__ import annotations
 
@@ -27,6 +29,7 @@ def norm_cell(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
     spark = get_spark(app_name="oracle-check", driver_memory="8g")
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +39,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and not any(sub in name for sub in only):
+            continue
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)

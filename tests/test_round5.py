@@ -1,0 +1,344 @@
+"""Round-5 gates: ADVICE r4 fixes (empty-dup-slot prefilter, NUL-safe JW
+dedupe), the vectorized codepoint padding (VERDICT item 7), lazy hyperplane
+planes — no plan-time probe job (item 6), C4-style line-level dedup (item
+2), Gopher repetition signals (item 3), the embedding near-dup LSH scale
+path with its recall gate (item 4), and the mid-stage-kill manifest gate
+(item 8)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------- ADVICE fixes
+
+
+def test_prefilter_all_singleton_empty_dup_slots(spark):
+    """ADVICE r4 (medium): a 100%-singleton-key corpus produces an EMPTY
+    dup-slot set; both the explicit-slots and the auto prefilter paths must
+    return zero pairs instead of crashing on empty-schema inference."""
+    from record_matching_spark.operators.blocking import (
+        candidate_pairs, duplicate_key_bitmap, filter_blocks_by_slot_join,
+    )
+
+    blocks = spark.createDataFrame(
+        [(i, i * 1000 + 7) for i in range(200)], "fid long, block_key long"
+    ).localCheckpoint(eager=True)
+    # direct unit: empty dup_slots short-circuits to an always-false filter
+    _, lg, stats = duplicate_key_bitmap(blocks, log2_slots=20)
+    assert stats["n_dup_slots"] == 0
+    assert (
+        filter_blocks_by_slot_join(blocks, stats["dup_slots"], lg).count() == 0
+    )
+    # explicit slots engage the prefilter unconditionally
+    assert candidate_pairs(blocks, id_col="fid", prefilter_log2_slots=20).count() == 0
+    # auto mode with a cleared threshold engages on exactly this regime
+    assert (
+        candidate_pairs(
+            blocks, id_col="fid", prefilter_log2_slots="auto",
+            prefilter_auto_min_drop=0.5,
+        ).count() == 0
+    )
+
+
+def test_jw_batch_nul_strings():
+    """ADVICE r4 (low): strings containing '\\x00' must dedupe on (x, y)
+    tuples — the old NUL-joined key mis-split and scored the wrong pair."""
+    from record_matching_spark.operators.scoring import _jaro_winkler, _jw_batch
+
+    # the exact failure shape: left contains NUL, so 'a\x00b' + NUL + 'b'
+    # previously split back as ('a', 'b\x00b')
+    av = ["a\x00b", "a", "a\x00b", None]
+    bv = ["b", "\x00bb", "b", "x"]
+    got = _jw_batch(av, bv)
+    exp = np.array([_jaro_winkler(x or "", y or "") for x, y in zip(av, bv)])
+    np.testing.assert_allclose(got, exp)
+    # and through the vectorized (long-string) branch
+    la = "x" * 80 + "\x00" + "y" * 40
+    lb = "x" * 80 + "z" * 10
+    got2 = _jw_batch([la, la, lb], [lb, lb, la])
+    exp2 = np.array(
+        [_jaro_winkler(la, lb), _jaro_winkler(la, lb), _jaro_winkler(lb, la)]
+    )
+    np.testing.assert_allclose(got2, exp2)
+
+
+def test_pad_codepoints_vectorized():
+    """VERDICT r4 item 7: the batch-wide encode+scatter must agree with
+    per-string utf-32-le encoding, including unicode and empties."""
+    from record_matching_spark.operators.scoring import _pad_codepoints
+
+    strs = ["", "abc", "héllo", "日本語テキスト",
+            "a" * 50, "\x00mid\x00"]
+    M, lens = _pad_codepoints(strs)
+    assert lens.tolist() == [len(s) for s in strs]
+    for i, s in enumerate(strs):
+        exp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        np.testing.assert_array_equal(M[i, : len(s)], exp)
+        assert (M[i, len(s):] == 0).all()
+
+
+# ------------------------------------------------- lazy hyperplane planes
+
+
+def test_lsh_plan_builds_without_jobs(spark):
+    """VERDICT r4 item 6: constructing the LSH ANN plan must launch NO
+    Spark job (the old per-call `.first()` dimension sniff was one job per
+    call); execution still returns correct buckets."""
+    from record_matching_spark.functions.similarity import (
+        hyperplane_buckets, lsh_cosine_topk,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("r5-plan-build", "plan construction must run no job")
+    try:
+        df = lsh_cosine_topk(e, e, k=2, n_tables=4, bits=3)
+        ids = sc.statusTracker().getJobIdsForGroup("r5-plan-build")
+    finally:
+        sc.setJobGroup("r5-after", "")
+    assert list(ids) == [], "plan construction launched a Spark job"
+    # lazy planes == eagerly pinned planes, bucket for bucket
+    lazy = sorted(map(tuple, hyperplane_buckets(e, n_tables=4, bits=5).collect()))
+    eager = sorted(
+        map(tuple, hyperplane_buckets(e, n_tables=4, bits=5, dim=3).collect())
+    )
+    assert lazy == eager and len(lazy) == 60 * 4
+    assert df.count() > 0
+
+
+# ------------------------------------------------------ C4-style line dedup
+
+
+def test_dedup_lines_reconstruction(spark):
+    """Boilerplate lines (trimmed match, >= 2 distinct docs) vanish from
+    every doc; every other line survives in original order, blank lines
+    included (the VERDICT item-2 reconstruction gate)."""
+    from record_matching_spark.functions.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED HEADER\nbody A\n\nbody A2"),
+            (2, "SHARED HEADER\nbody B\n  SHARED HEADER  \nunique two"),
+            (3, "totally distinct\n\n\nlines only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, min_docs=2, keep_text=True).collect()
+    }
+    assert out[1]["dedup_text"] == "unique one\nbody A\n\nbody A2"
+    # '  SHARED HEADER  ' is removed too (trimmed match), order preserved
+    assert out[2]["dedup_text"] == "body B\nunique two"
+    assert out[3]["dedup_text"] == "totally distinct\n\n\nlines only"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 4)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 2)
+    for r in out.values():
+        assert r["dedup_sha"] == hashlib.sha256(
+            r["dedup_text"].encode()
+        ).hexdigest()
+    # within-doc repetition alone is NOT boilerplate
+    solo = spark.createDataFrame(
+        [(1, "again\nagain\nagain")], "doc_id long, text string"
+    )
+    r = dedup_lines(solo, min_docs=2, keep_text=True).collect()[0]
+    assert r["dedup_text"] == "again\nagain\nagain"
+
+
+def test_dedup_lines_doc_reduced_to_nothing(spark):
+    from record_matching_spark.functions.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line")], "doc_id long, text string"
+    )
+    rows = dedup_lines(docs, min_docs=2, keep_text=True).collect()
+    assert len(rows) == 2  # every input doc appears
+    for r in rows:
+        assert (r["n_lines"], r["n_kept"], r["dedup_text"]) == (1, 0, "")
+        assert r["dedup_sha"] == hashlib.sha256(b"").hexdigest()
+
+
+# ------------------------------------------------ Gopher repetition signals
+
+
+def test_repetition_features(spark):
+    from record_matching_spark.functions.text import repetition_features
+
+    text1 = "dup line\nother\ndup line\n\nx y x y x y"
+    docs = spark.createDataFrame(
+        [(1, text1), (2, ""), (3, "one two")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, "doc_id", "text").collect()
+    }
+    r1 = out[1]
+    # 4 non-empty lines, 'dup line' twice -> 2/4 of lines, 16/32 of chars
+    assert r1["dup_line_frac"] == pytest.approx(0.5)
+    assert r1["dup_line_char_frac"] == pytest.approx(16 / 32)
+    # 2-grams: 'x y' x3 beats 'dup line' x2; 3*len('x y')/len(text)
+    assert r1["top_2gram"] == "x y"
+    assert r1["top_2gram_char_frac"] == pytest.approx(3 * 3 / len(text1))
+    # empty doc -> zeros, '' gram
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_2gram"] == "" and out[2]["top_2gram_char_frac"] == 0.0
+    # two tokens -> exactly one 2-gram occurring once
+    assert out[3]["top_2gram"] == "one two"
+    assert out[3]["top_2gram_char_frac"] == pytest.approx(7 / 7)
+
+
+# ------------------------------------------ embedding near-dup LSH scale path
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """VERDICT r4 item 4: the bucketed path's output is a SUBSET of brute
+    force (exact verify => perfect precision) with recall >= 0.99 at
+    threshold 0.9. Deterministic: fixed seeds everywhere."""
+    from record_matching_spark.functions.similarity import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    rows, vid = [], 0
+    for _ in range(40):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(int(rng.randint(1, 5))):
+            v = base + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+
+    brute = {
+        (r["left"], r["right"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r["left"], r["right"])
+        for r in embedding_near_dup_pairs_lsh(
+            df, threshold=0.9, n_tables=16, bits=8
+        ).collect()
+    }
+    assert got <= brute, "verify step must make precision exact"
+    assert len(brute) > 50, "fixture degenerate"
+    recall = len(got) / len(brute)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(got)}/{len(brute)})"
+
+
+# ----------------------------------------------- mid-stage-kill manifest gate
+
+
+def test_mid_stage_kill_partial_parquet_refused(spark, truth_df, tmp_path_factory):
+    """VERDICT r4 item 8: a kill -9 mid-write leaves stage data WITHOUT a
+    (complete) manifest. The resume gate must refuse the partial parquet,
+    recompute the stage, and land byte-identical clusters."""
+    from record_matching_spark.pipeline import Pipeline, PipelineConfig
+    from record_matching_spark.synth import repo_files
+
+    files = repo_files(truth_df)
+    cfg = PipelineConfig(tau=0.5)
+
+    work_ref = tmp_path_factory.mktemp("chaos_ref")
+    ref = Pipeline(spark, work_ref, cfg).run(files).cache()
+    ref.count()
+
+    work = tmp_path_factory.mktemp("chaos_kill")
+    p1 = Pipeline(spark, work, cfg)
+    assert p1.run(files, stop_after="s5_features") is None
+
+    s5 = work / "s5_features"
+    # simulate the kill: manifest gone (it is written only after the
+    # parquet completes), data dir left partial — drop _SUCCESS and one
+    # part file, truncate another to half its bytes
+    (s5 / "_manifest.json").unlink()
+    data = s5 / "data"
+    (data / "_SUCCESS").unlink()
+    parts = sorted(data.glob("part-*"))
+    assert len(parts) >= 2, "need >= 2 part files to simulate a partial write"
+    parts[0].unlink()
+    blob = parts[1].read_bytes()
+    parts[1].write_bytes(blob[: len(blob) // 2])
+
+    p2 = Pipeline(spark, work, cfg)
+    clusters = p2.run(files)
+    # earlier stages resumed; the mutilated stage did NOT
+    for s in ["s1_normalized", "s2_sha_features", "s3_blocks", "s4_pairs"]:
+        assert p2.stage_metrics[s] == {"resumed": True}
+    assert "resumed" not in p2.stage_metrics["s5_features"]
+    # recomputed manifest is complete again and clusters match the clean run
+    m = json.loads((s5 / "_manifest.json").read_text())
+    assert m["complete"] and m["rows"] > 0
+    assert ref.exceptAll(clusters).count() == 0
+    assert clusters.exceptAll(ref).count() == 0
+
+
+# ------------------------------------------- surgical span decontamination
+
+
+def test_excise_contaminated_spans(spark):
+    """A corpus doc quoting a probe passage loses (at least) that passage
+    and keeps its own prefix/suffix; clean docs pass through
+    byte-identical; a doc that IS the probe text is fully excised.
+    Both hash paths (numpy rolling hash and portable md5) must agree on
+    which docs are touched."""
+    from record_matching_spark.functions.text import excise_contaminated_spans
+
+    bench = (
+        "The benchmark question asks: what is the capital of France and "
+        "why does the river matter for trade in the nineteenth century?"
+    )
+    prefix = "My own training prose, written independently of any eval. "
+    suffix = " And a closing paragraph that is also entirely original."
+    corpus = spark.createDataFrame(
+        [
+            (1, prefix + bench + suffix),   # contaminated in the middle
+            (2, "Entirely clean document with plenty of original text "
+                "that overlaps nothing at all in the probe corpus here."),
+            (3, bench),                      # the probe text verbatim
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+
+    for portable in (False, True):
+        out = {
+            r["doc_id"]: r
+            for r in excise_contaminated_spans(
+                corpus, probe, text_col="text", k=8, w=16,
+                portable=portable, keep_text=True,
+            ).collect()
+        }
+        assert len(out) == 3
+        # clean doc: byte-identical, zero spans
+        assert out[2]["n_spans"] == 0 and out[2]["removed_chars"] == 0
+        assert out[2]["clean_text"] == corpus.collect()[1]["text"] or \
+            out[2]["clean_text"] == [r for r in corpus.collect()
+                                     if r["doc_id"] == 2][0]["text"]
+        # verbatim probe copy: guaranteed-detected, (almost) fully excised
+        assert out[3]["n_spans"] >= 1
+        assert len(out[3]["clean_text"]) <= 2 * (16 + 8 - 2)
+        assert bench not in out[3]["clean_text"]
+        # mid-doc quote: the benchmark text is gone...
+        r1 = out[1]
+        assert bench[16 + 8 - 2: -(16 + 8 - 2)] not in r1["clean_text"]
+        # ...the doc's own head and tail survive (conservative clipping
+        # may eat up to w+k-2 chars at each boundary)
+        clip = 16 + 8 - 2
+        assert r1["clean_text"].startswith(prefix[: len(prefix) - clip])
+        assert r1["clean_text"].endswith(suffix[clip:])
+        assert 0 < r1["removed_chars"] < len(prefix + bench + suffix)
+        # sha matches the returned text
+        assert r1["clean_sha"] == hashlib.sha256(
+            r1["clean_text"].encode()
+        ).hexdigest()
