@@ -16,8 +16,12 @@ Protocol (round-2 hardening per VERDICT):
   item 1: their samples were bimodal under residue + tenant load, so they
   get their own session like the ER section).
 - the 1-min loadavg at the launch of each query's best rep is recorded in
-  extra.loadavg — the same-moment contention evidence that adjudicated the
-  r4 q20 sample.
+  extra.loadavg, every rep's raw time in extra.reps, and a single-thread
+  fixed-work CPU calibration (extra.calib_ms) runs before each section —
+  1-min loadavg decays too slowly to tell our own just-finished burst from
+  alien tenant load (both the 15.7s and 141.3s q20 samples launched at
+  loadavg ~22-24), but the same-moment probe inflates only under real
+  contention. This is the evidence that adjudicated the r4 q20 sample.
 
 Every query is forced through the noop sink (full materialization, no
 column-pruning escape hatch). `value` = total seconds across queries.
@@ -128,20 +132,62 @@ def main() -> None:
         return t
 
     loadavgs: dict[str, float] = {}
+    calibs: dict[str, float] = {}
+    all_reps: dict[str, list] = {}
 
-    best = None
+    def _calibrate(tag: str) -> None:
+        """Same-moment contention probes, one per dimension the host
+        steals: a cache-resident CPU probe and a streaming MEMBW probe.
+        1-min loadavg decays too slowly to separate our own just-finished
+        burst from alien load (both the 15.7s and 141.3s q20 samples
+        launched at loadavg ~22-24). NO point probe fully discriminates
+        the slow mode (a 101s q20 ran between two quiet membw reads, and
+        in-run membw sampling stayed at p50 <10ms while q20 crawled at
+        39-55s) — but the probes DO catch the gross episodes (the
+        oversized first cut drifted 9.5→17.5s across one contended run),
+        and the r3-vs-today absolute CPU-burn ledger (10.9 vs 8.8 tasks/s
+        per 2 workers) shows the box spends daytime at ~0.8× its overnight
+        capacity. The reliable signal is identical-job rep variance, which
+        is why every rep's raw wall time is now in extra.reps."""
+        import numpy as np
+
+        a = np.random.RandomState(0).rand(1_250_000)  # 10 MB, ~L3-resident
+        (a * a).sum()  # warm pages before timing
+        t0 = time.perf_counter()
+        for _ in range(40):
+            (a * a).sum()
+        calibs[tag] = round((time.perf_counter() - t0) * 1e3, 1)  # ~75ms quiet
+        big = np.random.RandomState(1).rand(18_750_000)  # 150 MB, streams
+        big.sum()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            big.sum()
+        calibs[tag + "_membw"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+    _calibrate("er_section")
+    reps = []
     for _ in range(REPS):
         la = os.getloadavg()[0]
         r = er_rep()
-        if best is None or r["er_pair_scoring"] < best["er_pair_scoring"]:
-            best = r
-            loadavgs["er_section"] = round(la, 2)
-    extra["er_files"] = best["er_files"]
-    extra["er_candidate_pairs"] = best["er_candidate_pairs"]
-    for k in ("er_blocking_pairs", "er_pair_scoring", "er_clustering"):
-        timings[k] = round(best[k], 3)
+        r["_loadavg"] = round(la, 2)
+        reps.append(r)
+    loadavgs["er_section"] = reps[0]["_loadavg"]
+    # per-stage independent best-of: the stages are separate measurements,
+    # and picking one "best rep" by scoring time let a warmup-rep blocking
+    # number (11.1s vs 4.5s warm) masquerade as a regression
+    best = {
+        k: min(r[k] for r in reps)
+        for k in ("er_blocking_pairs", "er_pair_scoring", "er_clustering")
+    }
+    extra["er_files"] = reps[0]["er_files"]
+    extra["er_candidate_pairs"] = reps[0]["er_candidate_pairs"]
+    for k, v in best.items():
+        timings[k] = round(v, 3)
+    all_reps["er"] = [
+        {k: round(r[k], 3) for k in (*best, "_loadavg")} for r in reps
+    ]
     extra["pairs_scored_per_sec"] = round(
-        best["er_candidate_pairs"] / max(best["er_pair_scoring"], 1e-9), 1
+        extra["er_candidate_pairs"] / max(best["er_pair_scoring"], 1e-9), 1
     )
 
     # hard isolation: the ER section leaves 32 python UDF workers with
@@ -153,18 +199,22 @@ def main() -> None:
 
     def run_best_of(spark, name: str) -> None:
         best_t = float("inf")
+        rep_ts = []
         for _ in range(REPS):
             spark.catalog.clearCache()
             la = os.getloadavg()[0]
             t0 = time.monotonic()
             _materialize(qs[name](spark, SF_DIR))
             dt = time.monotonic() - t0
+            rep_ts.append(round(dt, 3))
             if dt < best_t:
                 best_t = dt
                 loadavgs[name] = round(la, 2)
         timings[name] = round(best_t, 3)
+        all_reps[name] = rep_ts
 
     # --- headline testdata queries (best-of-REPS each) --------------------
+    _calibrate("headline_section")
     for name in [
         "q01_pricing_summary",
         "q05_lineitem_pairs",
@@ -178,10 +228,14 @@ def main() -> None:
     # pair is the most residue-sensitive measurement in the suite
     spark.stop()
     spark = get_spark(app_name="rmspark-bench-dedup")
+    _calibrate("dedup_section")
     for name in ["q19_shingle_dedup", "q20_minhash_dedup"]:
         run_best_of(spark, name)
+    _calibrate("end")
 
     extra["loadavg"] = loadavgs
+    extra["calib_ms"] = calibs
+    extra["reps"] = all_reps
     out = {
         "metric": "total_bench_seconds",
         "value": round(sum(timings.values()), 3),

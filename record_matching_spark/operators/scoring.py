@@ -221,21 +221,38 @@ def _cos_jac_batch(tid_l, tw_l, tid_r, tw_r, n: int):
     return cos, jac
 
 
+# Mask-scatter vs per-string-loop crossover for _pad_codepoints, measured
+# at n=20k uniform-length batches (scripts/pad_codepoints_ab.py): mask
+# 1.18x at 150, ~parity at 200-250, 0.74-0.77x at 300-400.
+_PAD_MASK_MAX_L = 192
+
+
 def _pad_codepoints(strs: list) -> tuple[np.ndarray, np.ndarray]:
     """(n, Lmax) uint32 codepoint matrix (zero-padded) + per-row lengths.
     utf-32-le gives exact Python-string character semantics. One batch-wide
-    join+encode+frombuffer and a single fancy-indexed scatter — no
-    per-string Python loop (VERDICT r4 item 7)."""
+    join+encode+frombuffer and a single BOOLEAN-MASK scatter — no
+    per-string Python loop (VERDICT r4 item 7). Mask assignment fills in
+    row-major order, each row's first len(s) slots, which is exactly the
+    concatenated encode order. Measured (scripts/pad_codepoints_ab.py):
+    mask beats the loop 4.4x/1.6x/1.2x at Lmax 30/120/150 but LOSES
+    ~0.75x past Lmax~250 (the n*Lmax mask dominates), so batches with
+    Lmax > _PAD_MASK_MAX_L fall back to the per-string loop — same
+    outputs, property-pinned by test_jw_vectorized_matches_scalar. The
+    integer fancy-index variant lost at long lengths too (0.37x)."""
     n = len(strs)
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
     L = int(lens.max()) if n and lens.size else 0
     M = np.zeros((n, max(L, 1)), dtype=np.uint32)
-    if L > 0:
+    if 0 < L <= _PAD_MASK_MAX_L:
         flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        starts = np.cumsum(lens) - lens
-        cols = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        M[rows, cols] = flat
+        mask = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
+        M[mask] = flat
+    elif L > 0:
+        for i, s in enumerate(strs):
+            if s:
+                M[i, : len(s)] = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                )
     return M, lens
 
 
