@@ -224,6 +224,75 @@ def minhash_near_dup_pairs(
     )
 
 
+def _cc_tok(c, shingle_k: int | None):
+    return char_shingles(c, shingle_k) if shingle_k is not None else tokenize(c)
+
+
+def _cc_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    num_bands: int,
+    rows_per_band: int,
+    shingle_k: int | None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(_id, block_key[, *keep_cols]): LSH band keys + the content-sha key
+    (identical text is ALWAYS a candidate regardless of tokenization).
+    Shared by the batch and streaming decontamination paths — stateless
+    per row, so it runs unchanged under Structured Streaming. `keep_cols`
+    (already present on df) ride through both branches — the streaming
+    path carries its verify payload this way because a stream cannot be
+    re-joined to itself to attach features afterwards."""
+    keep = keep_cols or []
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(_cc_tok(F.col(text_col), shingle_k))
+        ).alias("_t"),
+        *(F.col(c) for c in keep),
+    )
+    sigs = with_minhash_signature(
+        toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
+    )
+    b = minhash_bands(sigs, id_col="_id",
+                      num_bands=num_bands, rows_per_band=rows_per_band,
+                      keep_cols=keep)
+    return b.unionByName(
+        df.select(
+            F.col(id_col).alias("_id"),
+            *(F.col(c) for c in keep),
+            F.xxhash64(F.lit("cs"), F.col(text_col)).alias("block_key"),
+        )
+    )
+
+
+def _cc_feats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    idname: str,
+    suf: str,
+    shingle_k: int | None,
+) -> DataFrame:
+    """(<idname>, _t<suf>, _sha_<suf>, _n<suf>): sorted distinct token
+    hashes, content hash, and token count — the exact-verify payload."""
+    return df.select(
+        F.col(id_col).alias(idname),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(_cc_tok(F.col(text_col), shingle_k)),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias(f"_t{suf}"),
+        F.xxhash64(F.col(text_col)).alias(f"_sha_{suf}"),
+        F.size(
+            F.array_distinct(_cc_tok(F.col(text_col), shingle_k))
+        ).alias(f"_n{suf}"),
+    )
+
+
 def cross_corpus_near_dup_pairs(
     corpus: DataFrame,
     probe: DataFrame,
@@ -252,54 +321,22 @@ def cross_corpus_near_dup_pairs(
     corpora is ALWAYS a candidate via the content-sha key regardless of
     tokenization. Output: (corpus_id, probe_id, jaccard).
     """
-    def _tok(c):
-        if shingle_k is not None:
-            return char_shingles(c, shingle_k)
-        return tokenize(c)
-
-    def _bands(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
-        )
-        sigs = with_minhash_signature(
-            toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
-        )
-        b = minhash_bands(sigs, id_col="_id",
-                          num_bands=num_bands, rows_per_band=rows_per_band)
-        return b.unionByName(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.xxhash64(F.lit("cs"), F.col(text_col)).alias("block_key"),
-            )
-        )
-
-    def _feats(df: DataFrame, idname: str, suf: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.array_sort(
-                F.transform(
-                    F.array_distinct(_tok(F.col(text_col))),
-                    lambda t: F.xxhash64(t),
-                )
-            ).alias(f"_t{suf}"),
-            F.xxhash64(F.col(text_col)).alias(f"_sha_{suf}"),
-            F.size(
-                F.array_distinct(_tok(F.col(text_col)))
-            ).alias(f"_n{suf}"),
-        )
-
-    pb = _bands(probe).withColumnRenamed("_id", "probe_id")
-    pf = _feats(probe, "probe_id", "b")
+    pb = _cc_bands(
+        probe, id_col, text_col, num_hashes, num_bands, rows_per_band, shingle_k
+    ).withColumnRenamed("_id", "probe_id")
+    pf = _cc_feats(probe, id_col, text_col, "probe_id", "b", shingle_k)
     if broadcast_probe:
         pb, pf = F.broadcast(pb), F.broadcast(pf)
     cand = (
-        _bands(corpus)
+        _cc_bands(
+            corpus, id_col, text_col,
+            num_hashes, num_bands, rows_per_band, shingle_k,
+        )
         .join(pb, "block_key")
         .select(F.col("_id").alias("corpus_id"), "probe_id")
         .distinct()
     )
-    cf = _feats(corpus, "corpus_id", "a")
+    cf = _cc_feats(corpus, id_col, text_col, "corpus_id", "a", shingle_k)
     union_sz = F.size(F.array_union("_ta", "_tb"))
     empty_case = F.when(
         F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)

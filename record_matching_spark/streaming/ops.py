@@ -265,6 +265,102 @@ def streaming_near_dup(
     )
 
 
+def streaming_decontaminate(
+    stream: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Streaming cross-corpus decontamination: contamination records
+    (doc_id, probe_id, jaccard) for STREAM documents that near-duplicate
+    any document of a STATIC probe corpus (benchmark/eval suites) — the
+    continuous-ingest form of `functions.dedup.cross_corpus_near_dup_pairs`
+    (same LSH band construction via the shared `_cc_bands`/`_cc_feats`,
+    same exact-Jaccard verify-then-emit, same content-sha identical-text
+    guarantee), so documents leaking benchmark content are flagged at
+    ingest time instead of by a later batch sweep.
+
+    Scale shape (unbounded corpus stream × bounded probe set): the probe's
+    band keys and token-hash features are BATCH frames marked broadcast —
+    each micro-batch of the stream crosses two map-side broadcast hash
+    joins and never shuffles. The stream carries its own token-hash verify
+    payload through the band explode (×(num_bands+1) in-flight payload
+    duplication, map-side only — the price of not being able to re-join a
+    stream to itself the way the batch path re-attaches corpus features
+    post-dedup). Verification runs inline per band hit; only VERIFIED hits
+    (tiny by construction) reach the single stateful operator, a
+    dropDuplicates on (doc_id, probe_id) whose state is bounded by the
+    number of distinct contaminated pairs ever seen — re-deliveries and
+    multi-band hits add no state and emit no duplicate rows.
+
+    Output (append mode): (doc_id, probe_id, jaccard), one row per
+    contaminated pair, exactly-once across micro-batches. Batch parity is
+    pytest-gated: over the same data this equals
+    cross_corpus_near_dup_pairs row-for-row.
+    """
+    from record_matching_spark.functions.dedup import _cc_bands, _cc_feats, _cc_tok
+
+    # the verify payload is plain column exprs over the SAME rows — attach
+    # it before the band explode (a stream cannot re-join itself later)
+    enriched = stream.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(_cc_tok(F.col(text_col), shingle_k)),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("_ta"),
+        F.xxhash64(F.col(text_col)).alias("_sha_a"),
+        F.size(
+            F.array_distinct(_cc_tok(F.col(text_col), shingle_k))
+        ).alias("_na"),
+    )
+    bands = _cc_bands(
+        enriched, id_col, text_col,
+        num_hashes, num_bands, rows_per_band, shingle_k,
+        keep_cols=["_ta", "_sha_a", "_na"],
+    )
+    pb = F.broadcast(
+        _cc_bands(
+            probe, id_col, text_col,
+            num_hashes, num_bands, rows_per_band, shingle_k,
+        ).withColumnRenamed("_id", "probe_id")
+    )
+    pf = F.broadcast(
+        _cc_feats(probe, id_col, text_col, "probe_id", "b", shingle_k)
+    )
+    union_sz = F.size(F.array_union("_ta", "_tb"))
+    empty_case = F.when(
+        F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    size_ok = (
+        F.least("_na", "_nb").cast("double")
+        / F.greatest("_na", "_nb", F.lit(1))
+        >= F.lit(threshold - 1e-9)
+    ) | ((F.col("_na") == 0) & (F.col("_nb") == 0))
+    return (
+        bands.join(pb, "block_key")
+        .join(pf, "probe_id")
+        .filter(size_ok)
+        .withColumn(
+            "jaccard",
+            F.when(union_sz == 0, empty_case).otherwise(
+                F.size(F.array_intersect("_ta", "_tb")).cast("double")
+                / union_sz
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("_id").alias("doc_id"), "probe_id", "jaccard")
+        .dropDuplicates(["doc_id", "probe_id"])
+    )
+
+
 def run_stream_to_parquet(
     df: DataFrame,
     dest_dir: str,

@@ -342,3 +342,80 @@ def test_excise_contaminated_spans(spark):
         assert r1["clean_sha"] == hashlib.sha256(
             r1["clean_text"].encode()
         ).hexdigest()
+
+
+# ------------------------------------------- streaming decontamination
+
+
+def test_streaming_decontaminate_parity_and_exactly_once(spark, tmp_path):
+    """streaming_decontaminate == cross_corpus_near_dup_pairs over the same
+    data (batch parity), emits exactly one row per contaminated (doc,
+    probe) pair across micro-batches INCLUDING re-deliveries, flags an
+    exact probe copy via the content-sha key, and never flags clean or
+    below-threshold docs."""
+    from record_matching_spark.functions.dedup import cross_corpus_near_dup_pairs
+    from record_matching_spark.streaming.ops import (
+        run_stream_to_parquet,
+        streaming_decontaminate,
+    )
+
+    src = tmp_path / "dc_in"
+    dst = tmp_path / "dc_out"
+    ckp = tmp_path / "dc_ck"
+    schema = "doc_id string, text string"
+
+    bench = " ".join(f"tok{i}" for i in range(60))
+    other_bench = " ".join(f"alt{i}" for i in range(60))
+    near = bench.replace("tok7 ", "zzz7 ")  # J = 59/61 ≈ 0.967
+    half = " ".join(
+        [f"tok{i}" for i in range(30)] + [f"oth{i}" for i in range(30)]
+    )  # J vs bench ≈ 0.33 — bands may collide, verify must reject
+    clean = " ".join(f"new{i}" for i in range(60))
+
+    probe = spark.createDataFrame(
+        [("P1", bench), ("P2", other_bench)], schema
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_parquet(
+            streaming_decontaminate(
+                stream, probe, text_col="text", id_col="doc_id",
+                threshold=0.9,
+            ),
+            str(dst), str(ckp),
+        )
+
+    # batch 1: A ≈ P1, B clean, C == P2 verbatim
+    spark.createDataFrame(
+        [("A", near), ("B", clean), ("C", other_bench)], schema
+    ).write.parquet(str(src), mode="append")
+    run()
+    got1 = {
+        (r["doc_id"], r["probe_id"]): r["jaccard"]
+        for r in spark.read.parquet(str(dst)).collect()
+    }
+    assert set(got1) == {("A", "P1"), ("C", "P2")}, got1
+    assert abs(got1[("A", "P1")] - 59 / 61) < 1e-12
+    assert got1[("C", "P2")] == 1.0
+
+    # batch 2: A re-delivered (no duplicate row), H below τ (no row),
+    # D == P1 verbatim (new contamination)
+    spark.createDataFrame(
+        [("A", near), ("H", half), ("D", bench)], schema
+    ).write.parquet(str(src), mode="append")
+    run()
+    rows = spark.read.parquet(str(dst)).collect()
+    got2 = {(r["doc_id"], r["probe_id"]): r["jaccard"] for r in rows}
+    assert len(rows) == len(got2) == 3, rows  # exactly-once per pair
+    assert set(got2) == {("A", "P1"), ("C", "P2"), ("D", "P1")}, got2
+
+    # batch parity: the batch operator over ALL delivered docs agrees
+    all_docs = spark.read.parquet(str(src)).dropDuplicates(["doc_id"])
+    batch = {
+        (r["corpus_id"], r["probe_id"]): r["jaccard"]
+        for r in cross_corpus_near_dup_pairs(
+            all_docs, probe, text_col="text", id_col="doc_id", threshold=0.9
+        ).collect()
+    }
+    assert batch == got2
