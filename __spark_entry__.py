@@ -5,13 +5,14 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (37 of 41, including
+from SURVEY.md §2, DuckDB-oracled where expressible (39 of 43, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
-Gopher repetition signals, and q41's surgical span-level
-decontamination — the reconstructed post-excision text pinned by sha256
-in SQL).
+Gopher repetition signals, q41's surgical span-level decontamination and
+q43's within-corpus keep-first substring dedup — each reconstructed
+post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
+checked against DuckDB's RE2 regexp engine).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -446,6 +447,34 @@ def _q40_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q42_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: PII scrubbing (C4/Dolma-style masking) —
+    emails, IPv4s, and dash phone numbers replaced with typed placeholders
+    + per-doc counts, pure Catalyst regexp (one map-only scan, the 100-TB
+    shape). The synthetic documents carry no PII, so a deterministic PII
+    suffix derived from doc_id is appended IN THE QUERY on both the Spark
+    and oracle sides — the scrub is exercised on every row (counts ≥ 3).
+    clean_text is hash-pinned against DuckDB's RE2 regexp engine (patterns
+    kept inside the Java-regex/RE2-agreeing subset)."""
+    from record_matching_spark.functions.text import scrub_pii
+
+    d = _read(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), sid, F.lit("@example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(with_pii, text_col="text", id_col="doc_id")
+
+
 _EVAL_SOURCES = ("src0", "src1", "src2")
 
 
@@ -479,6 +508,22 @@ def _q41_span_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return excise_contaminated_spans(
         corpus, probe, id_col="doc_id", text_col="text", k=8, w=32,
         portable=True,
+    )
+
+
+def _q43_self_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: within-corpus exact-substring dedup,
+    keep-first (Lee et al. 2022 re-expressed over the winnowing position
+    index) — every character span duplicated across documents survives
+    only in the lowest-id doc holding it; later copies are excised
+    surgically. clean_sha pins every rebuilt doc byte-for-byte against
+    the DuckDB oracle (same construction as q41 with a min-doc-id owner
+    CTE instead of a probe fingerprint set)."""
+    from record_matching_spark.functions.text import self_dedup_spans
+
+    d = _read(spark, sf, "documents")
+    return self_dedup_spans(
+        d, id_col="doc_id", text_col="text", k=8, w=32, portable=True
     )
 
 
@@ -631,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_line_dedup": _q39_line_dedup,
         "q40_repetition": _q40_repetition,
         "q41_span_decontamination": _q41_span_decontamination,
+        "q42_pii_scrub": _q42_pii_scrub,
+        "q43_self_dedup_spans": _q43_self_dedup_spans,
     }
 
 
@@ -1069,6 +1116,133 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN stats st USING (doc_id)
             LEFT JOIN rebuilt rb USING (doc_id)
             WHERE d.source NOT IN ('src0','src1','src2')
+        """,
+        "q42_pii_scrub": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       text || ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                            || ' from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 or call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS BIGINT) AS n_emails,
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t
+                FROM base
+            ),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t,
+                         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT)
+                         AS n_ipv4,
+                       regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                      '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_emails, n_ipv4,
+                       CAST(len(regexp_extract_all(t,
+                         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                       regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b',
+                                      '<PHONE>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, t AS clean_text, n_emails, n_ipv4, n_phones
+            FROM s3
+        """,
+        "q43_self_dedup_spans": """
+            WITH pos AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)
+            ),
+            win AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fp,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p,
+                       count(*) OVER (PARTITION BY doc_id) AS m
+                FROM pos
+            ),
+            fps AS (
+                SELECT doc_id, fp, min(p) AS minp, max(p) AS maxp
+                FROM win WHERE p >= 31 OR p = m - 1
+                GROUP BY doc_id, fp
+            ),
+            own AS (
+                SELECT fp, min(doc_id) AS owner
+                FROM fps GROUP BY fp HAVING count(*) >= 2
+            ),
+            hits AS (
+                SELECT f.doc_id, greatest(f.minp - 31, 0) AS s, f.maxp + 7 AS e
+                FROM fps f JOIN own o USING (fp)
+                WHERE f.doc_id <> o.owner
+            ),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(
+                                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -2) + 1
+                            THEN 1 ELSE 0 END AS nw
+                FROM hits
+            ),
+            merged AS (
+                SELECT i.doc_id, min(s) AS s,
+                       least(max(e), length(d.text) - 1) AS e
+                FROM (SELECT doc_id, s, e,
+                             sum(nw) OVER (PARTITION BY doc_id
+                                           ORDER BY s, e) AS island
+                      FROM isl) i
+                JOIN documents d USING (doc_id)
+                GROUP BY i.doc_id, i.island, length(d.text)
+            ),
+            segs AS (
+                SELECT doc_id,
+                       coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                                + 1, 0) AS ks,
+                       s - 1 AS ke
+                FROM merged
+                UNION ALL
+                SELECT m.doc_id, max(m.e) + 1 AS ks,
+                       length(d.text) - 1 AS ke
+                FROM merged m JOIN documents d USING (doc_id)
+                GROUP BY m.doc_id, length(d.text)
+            ),
+            rebuilt AS (
+                SELECT s.doc_id,
+                       string_agg(substr(d.text, ks + 1, ke - ks + 1),
+                                  '' ORDER BY ks) AS ct
+                FROM segs s JOIN documents d USING (doc_id)
+                WHERE ks <= ke
+                GROUP BY s.doc_id
+            ),
+            stats AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(e - s + 1) AS removed
+                FROM merged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+                   sha256(CASE WHEN st.doc_id IS NOT NULL
+                               THEN coalesce(rb.ct, '')
+                               ELSE d.text END) AS clean_sha
+            FROM documents d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN rebuilt rb USING (doc_id)
         """,
         "q39_line_dedup": """
             WITH ex AS (

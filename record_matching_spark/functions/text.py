@@ -78,6 +78,51 @@ def language_id(col: Column) -> Column:
     return best
 
 
+# PII patterns, applied IN ORDER (each counted on the text as scrubbed by
+# the previous ones, so counts equal replacements made). Kept inside the
+# regex subset where Java regex (Spark) and RE2 (DuckDB) agree: character
+# classes, bounded repetition, \b, non-capturing groups; the phone pattern
+# is dash-separated ONLY so it can never overlap an IPv4 dotted quad
+# (leftmost-longest RE2 vs backtracking-Java would disagree on such
+# overlaps — this keeps the DuckDB oracle exact).
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (the C4/Dolma-style masking pass a training-data
+    pipeline runs before anything else): emails, IPv4 addresses, and
+    dash-separated phone numbers replaced with typed placeholders, with a
+    per-document count of each. Pure Catalyst (regexp_replace /
+    regexp_extract_all — whole-stage codegen, no UDF), one map-only scan:
+    the 100-TB shape is a linear pass with zero shuffles.
+
+    Output: (<id_col>, clean_text, n_emails, n_ipv4, n_phones). Counts are
+    sequential — each pattern is counted on the text already scrubbed by
+    the preceding patterns, so every count equals the number of
+    replacements actually made (an IP inside an email is scrubbed as part
+    of the email, not double-counted). The reference has no PII handling;
+    analog: the normalize/templating stage it does run first
+    (/root/reference/record_matching/main.py:69-88)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in _PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}s" if not name.endswith("4") else f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(
+        F.col(id_col), cur.alias("clean_text"), *counts
+    )
+
+
 def doc_fingerprint(col: Column, shingle: int = 8) -> Column:
     """Single-min document fingerprint: min xxhash64 over all
     `shingle`-char substrings (rolling-hash analog, fully Catalyst — and
@@ -448,62 +493,20 @@ def winnow_span_pairs(
     )
 
 
-def excise_contaminated_spans(
-    corpus: DataFrame,
-    probe: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "content",
-    k: int = 8,
-    w: int = 64,
-    portable: bool = False,
-    keep_text: bool = False,
+def _excise_spans(
+    docs: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    keep_text: bool,
 ) -> DataFrame:
-    """SURGICAL cross-corpus decontamination: instead of dropping a whole
-    training document that shares content with a benchmark/probe document
-    (cross_corpus_near_dup_pairs / q38), excise ONLY the contaminated
-    character span(s) and keep the rest — the chunk-level dedup public
-    pipelines apply when a long document quotes a benchmark item verbatim.
-
-    Mechanics: winnowing position index on both sides (SIGMOD'03 — any
-    shared substring of length >= w + k - 1 is guaranteed to share a
-    selected fingerprint); every corpus fingerprint found in the probe SET
-    marks the CONSERVATIVE char interval its selection windows cover,
-    [minp - (w-1), maxp + k - 1] (window-end k-gram index p covers k-grams
-    p-w+1..p, i.e. chars p-w+1..p+k-1); overlapping/adjacent intervals
-    merge (gaps-and-islands over a per-doc window); the kept text is the
-    ordered concatenation of the complement segments. Conservative by
-    construction: everything the matched windows could have covered goes,
-    so a guaranteed-detected overlap is guaranteed-removed; the price is
-    up to w+k-2 extra chars clipped at each span boundary.
-
-    Scale shape (the q38 contract): the probe fingerprint set is DISTINCT
-    + broadcast — the corpus crosses ONE map-side hash join and never
-    shuffles for candidate generation; the span merge windows and the
-    rebuild agg all partition by the corpus doc id (one exchange, reused);
-    probe-side work is proportional to the (small) probe corpus.
-
-    Output: (id_col, n_spans, removed_chars, clean_sha) — plus clean_text
-    when keep_text — one row per corpus doc; uncontaminated docs pass
-    through byte-identical. Fully SQL-expressible in portable mode ->
-    DuckDB oracle q41."""
-    c_inv = winnow_position_index(
-        corpus, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
-    )
-    p_fps = winnow_position_index(
-        probe, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
-    ).select("fp").distinct()
-    docs = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_len"),
-    )
-    hits = c_inv.join(F.broadcast(p_fps), "fp").select(
-        "_id",
-        F.greatest(F.col("minp") - F.lit(w - 1), F.lit(0)).alias("s"),
-        (F.col("maxp") + F.lit(k - 1)).alias("e"),
-    )
-    # merge overlapping/adjacent [s, e] intervals: island starts where s
-    # jumps past the running max end (+1 = adjacency also merges)
+    """Shared span-excision tail for excise_contaminated_spans and
+    self_dedup_spans: given docs (_id, _t, _len) and raw char intervals
+    hits (_id, s, e), merge overlapping/adjacent intervals per doc
+    (gaps-and-islands), rebuild each doc as the ordered concatenation of
+    the complement segments, and emit (id_col, n_spans, removed_chars,
+    clean_sha [, clean_text]); docs with no hits pass through
+    byte-identical. All windows/aggregates partition by the doc id — one
+    exchange, reused."""
     w_ord = Window.partitionBy("_id").orderBy("s", "e")
     prev_max = F.max("e").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -576,6 +579,130 @@ def excise_contaminated_spans(
     )
     cols = [id_col, "n_spans", "removed_chars", "clean_sha"]
     return out.select(*cols, "clean_text") if keep_text else out.select(*cols)
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    portable: bool = False,
+    keep_text: bool = False,
+) -> DataFrame:
+    """SURGICAL cross-corpus decontamination: instead of dropping a whole
+    training document that shares content with a benchmark/probe document
+    (cross_corpus_near_dup_pairs / q38), excise ONLY the contaminated
+    character span(s) and keep the rest — the chunk-level dedup public
+    pipelines apply when a long document quotes a benchmark item verbatim.
+
+    Mechanics: winnowing position index on both sides (SIGMOD'03 — any
+    shared substring of length >= w + k - 1 is guaranteed to share a
+    selected fingerprint); every corpus fingerprint found in the probe SET
+    marks the CONSERVATIVE char interval its selection windows cover,
+    [minp - (w-1), maxp + k - 1] (window-end k-gram index p covers k-grams
+    p-w+1..p, i.e. chars p-w+1..p+k-1); overlapping/adjacent intervals
+    merge (gaps-and-islands over a per-doc window); the kept text is the
+    ordered concatenation of the complement segments. Conservative by
+    construction: everything the matched windows could have covered goes,
+    so a guaranteed-detected overlap is guaranteed-removed; the price is
+    up to w+k-2 extra chars clipped at each span boundary.
+
+    Scale shape (the q38 contract): the probe fingerprint set is DISTINCT
+    + broadcast — the corpus crosses ONE map-side hash join and never
+    shuffles for candidate generation; the span merge windows and the
+    rebuild agg all partition by the corpus doc id (one exchange, reused);
+    probe-side work is proportional to the (small) probe corpus.
+
+    Output: (id_col, n_spans, removed_chars, clean_sha) — plus clean_text
+    when keep_text — one row per corpus doc; uncontaminated docs pass
+    through byte-identical. Fully SQL-expressible in portable mode ->
+    DuckDB oracle q41."""
+    c_inv = winnow_position_index(
+        corpus, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    )
+    p_fps = winnow_position_index(
+        probe, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    ).select("fp").distinct()
+    docs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    hits = c_inv.join(F.broadcast(p_fps), "fp").select(
+        "_id",
+        F.greatest(F.col("minp") - F.lit(w - 1), F.lit(0)).alias("s"),
+        (F.col("maxp") + F.lit(k - 1)).alias("e"),
+    )
+    return _excise_spans(docs, hits, id_col, keep_text)
+
+
+def self_dedup_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 64,
+    portable: bool = False,
+    keep_text: bool = False,
+) -> DataFrame:
+    """WITHIN-corpus exact-substring dedup, keep-first (the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed in the winnowing-index shape the engine
+    already uses for q36/q37/q41): any character span duplicated across
+    documents is kept in the LOWEST-id document that contains it and
+    excised from every other — license headers, quoted boilerplate, and
+    copy-pasted passages survive exactly once in the corpus instead of
+    per-copy.
+
+    Mechanics: winnowing position index over the corpus (SIGMOD'03 — any
+    shared substring of length >= w + k - 1 is guaranteed to share a
+    selected fingerprint); per fingerprint held by >= 2 docs, the min doc
+    id is the owner; every other holder marks the conservative char
+    interval its selection windows cover, [minp-(w-1), maxp+k-1];
+    intervals merge and the complement rebuilds via _excise_spans.
+    Conservative the same way q41 is: a guaranteed-detected duplicate
+    span is guaranteed-removed from every non-owner, at the price of up
+    to w+k-2 extra chars per boundary — and, because the index keeps one
+    (minp, maxp) row per DISTINCT fingerprint per doc, a non-owner doc
+    containing the same duplicated fingerprint at two distant positions
+    excises the whole enclosing range (acceptable: that text is itself
+    repetitive; same documented semantics as excise_contaminated_spans).
+
+    Scale shape: inverted index → one groupBy(fp) with map-side combine
+    (min/count partials — hot boilerplate fps reduce before the
+    exchange), one fp-keyed equi-join back (AQE handles residual skew),
+    then all span work partitions by doc id. No all-pairs stage, no
+    broadcast of anything corpus-sized, no driver collect. Reference has
+    no substring dedup; nearest analog is whole-record dedup around
+    /root/reference/record_matching/main.py:552-577.
+
+    Output: (id_col, n_spans, removed_chars, clean_sha [, clean_text]);
+    owner/unique docs pass through byte-identical with n_spans = 0.
+    portable=True (md5 k-grams + running window min) is DuckDB-oracle-able
+    → q43."""
+    inv = winnow_position_index(
+        corpus, id_col=id_col, text_col=text_col, k=k, w=w, portable=portable
+    )
+    owners = inv.groupBy("fp").agg(
+        F.min("_id").alias("_owner"), F.count(F.lit(1)).alias("_ndocs")
+    ).filter(F.col("_ndocs") >= 2)
+    docs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    hits = (
+        inv.join(owners, "fp")
+        .filter(F.col("_id") != F.col("_owner"))
+        .select(
+            "_id",
+            F.greatest(F.col("minp") - F.lit(w - 1), F.lit(0)).alias("s"),
+            (F.col("maxp") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    return _excise_spans(docs, hits, id_col, keep_text)
 
 
 def repetition_features(

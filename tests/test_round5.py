@@ -344,6 +344,78 @@ def test_excise_contaminated_spans(spark):
         ).hexdigest()
 
 
+# ----------------------------------------- within-corpus substring dedup
+
+
+def test_self_dedup_spans_keep_first(spark):
+    """self_dedup_spans: a passage duplicated across docs survives ONLY in
+    the lowest-id doc (byte-identical there), is excised from every later
+    copy, and unique docs pass through untouched — on both hash paths.
+    Noise alphabets are disjoint per doc so no k-gram collides by
+    accident."""
+    from record_matching_spark.functions.text import self_dedup_spans
+
+    dup = "0123456789!#0123456789?%0123456789<>0123"   # 40 chars, shared
+    n1 = "abc defg abcdefg gfedcba bagged cabbage facade dead beef "
+    n2 = "hijk lmn hijklmn nmlkjih khaki njillion millhill jinn mill "
+    n3 = "opqr stu opqrstu utsrqpo troops squrt upport outpost roots "
+    rows = [
+        (1, n1 + dup + n1),          # owner: keeps everything
+        (2, n2 + dup + n2),          # later copy: dup excised
+        (3, n3 + n3),                # unique: untouched
+        (4, dup),                    # later copy, verbatim: ~fully excised
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 4, 8
+    clip = w + k - 2
+    for portable in (False, True):
+        out = {
+            r["doc_id"]: r
+            for r in self_dedup_spans(
+                corpus, text_col="text", k=k, w=w,
+                portable=portable, keep_text=True,
+            ).collect()
+        }
+        assert len(out) == 4
+        # keep-first: the owner is byte-identical
+        assert out[1]["n_spans"] == 0 and out[1]["clean_text"] == rows[0][1]
+        # unique doc untouched
+        assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == rows[2][1]
+        # later copies lose the duplicated core
+        assert out[2]["n_spans"] >= 1
+        assert dup[clip:-clip] not in out[2]["clean_text"]
+        # ...but keep their own prose head/tail (conservative clipping)
+        assert out[2]["clean_text"].startswith(n2[: len(n2) - clip])
+        assert out[2]["clean_text"].endswith(n2[clip:])
+        # verbatim copy: (almost) fully excised
+        assert len(out[4]["clean_text"]) <= 2 * clip
+        # sha pins the rebuilt text
+        assert out[2]["clean_sha"] == hashlib.sha256(
+            out[2]["clean_text"].encode()
+        ).hexdigest()
+
+
+def test_self_dedup_three_way_keeps_exactly_one(spark):
+    """Three identical docs → the lowest id keeps the text, the other two
+    are excised to (at most) boundary residue; total kept copies == 1."""
+    from record_matching_spark.functions.text import self_dedup_spans
+
+    t = "shared boilerplate license header, identical in every file. " * 3
+    corpus = spark.createDataFrame(
+        [(10, t), (20, t), (30, t)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in self_dedup_spans(
+            corpus, text_col="text", k=4, w=8, keep_text=True
+        ).collect()
+    }
+    assert out[10]["clean_text"] == t and out[10]["n_spans"] == 0
+    for d in (20, 30):
+        assert out[d]["n_spans"] >= 1
+        assert len(out[d]["clean_text"]) <= 2 * (8 + 4 - 2)
+
+
 # ------------------------------------------- streaming decontamination
 
 
@@ -419,3 +491,42 @@ def test_streaming_decontaminate_parity_and_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert batch == got2
+
+
+# --------------------------------------------------------- PII scrubbing
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    """scrub_pii: emails/IPv4s/dash-phones are replaced with typed
+    placeholders; counts are SEQUENTIAL (an IP inside an email is scrubbed
+    as part of the email and not double-counted); clean text carries no
+    residual PII; PII-free text is byte-identical with zero counts."""
+    from record_matching_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "mail a.user+x@sub.example.org and b@ex.io now"),
+        (2, "server 10.1.2.3 and 192.168.255.1 up"),
+        (3, "call 555-123-4567 or 800-555-0199"),
+        # IP-shaped string inside an email local part: eaten by the email
+        # replacement, so n_ipv4 counts only the standalone one
+        (4, "x 10.0.0.1@host.example.com then 172.16.0.9 y"),
+        (5, "no pii here, just text with numbers 12345 and v1.2 dots"),
+        (6, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in scrub_pii(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 2 and "@" not in out[1]["clean_text"]
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["clean_text"] == "server <IP> and <IP> up"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE>"
+    assert out[4]["n_emails"] == 1 and out[4]["n_ipv4"] == 1
+    assert out[4]["clean_text"] == "x <EMAIL> then <IP> y"
+    assert out[5]["clean_text"] == rows[4][1]
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (0, 0, 0)
+    assert out[6]["clean_text"] == ""
