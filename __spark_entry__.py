@@ -5,14 +5,16 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (39 of 43, including
+from SURVEY.md §2, DuckDB-oracled where expressible (40 of 44, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
 Gopher repetition signals, q41's surgical span-level decontamination and
 q43's within-corpus keep-first substring dedup — each reconstructed
 post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
-checked against DuckDB's RE2 regexp engine).
+checked against DuckDB's RE2 regexp engine, and q44's sequence packing
+— a distributed two-level prefix sum checked against the sequential
+global cumsum).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -527,6 +529,23 @@ def _q43_self_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q44_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: sequence packing — documents laid end-to-end
+    in doc_id order and chopped into fixed-512-token training sequences
+    (concat-and-chunk); per doc, the sequence it starts in, its token
+    offset inside it, and how many sequences it spans. Distributed
+    two-level prefix sum (range partition → per-partition window → P-row
+    driver prefix + broadcast back), never a single-partition global
+    window; the oracle recomputes the trivially-sequential global cumsum
+    in DuckDB."""
+    from record_matching_spark.functions.sampling import pack_sequences
+    from record_matching_spark.functions.text import token_count
+
+    d = _read(spark, sf, "documents")
+    tok = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(tok, id_col="doc_id", token_col="n_tokens", budget=512)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -678,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_span_decontamination": _q41_span_decontamination,
         "q42_pii_scrub": _q42_pii_scrub,
         "q43_self_dedup_spans": _q43_self_dedup_spans,
+        "q44_pack_sequences": _q44_pack_sequences,
     }
 
 
@@ -1243,6 +1263,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats st USING (doc_id)
             LEFT JOIN rebuilt rb USING (doc_id)
+        """,
+        "q44_pack_sequences": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> len(x) > 0)) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS st
+                FROM tok
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(st // 512 AS BIGINT) AS seq_id,
+                   CAST(st % 512 AS BIGINT) AS offset,
+                   CAST((st + greatest(n_tokens, 1) - 1) // 512
+                        - st // 512 + 1 AS BIGINT) AS n_seqs
+            FROM cum
         """,
         "q39_line_dedup": """
             WITH ex AS (

@@ -92,3 +92,79 @@ def quota_sample(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in `id_col` order and
+    chop the concatenated token stream into fixed-`budget` training
+    sequences (the concat-and-chunk packing step every LLM pretraining
+    pipeline runs between corpus and batches). Each doc is assigned the
+    sequence where it STARTS plus its token offset inside it; `n_seqs`
+    counts how many sequences the doc spans (straddlers and
+    longer-than-budget docs span > 1).
+
+    Output: (id_col, token_col, seq_id, offset, n_seqs) — all positions
+    deterministic pure functions of the (id, token-count) multiset, so
+    the layout is reproducible at any parallelism.
+
+    Scale shape — the naive form is a global ordered cumsum, i.e. ONE
+    window over ONE partition, a non-starter at 100 TB. This runs the
+    textbook two-level scan instead: range-repartition by id (Spark's
+    RangePartitioner assigns ascending key ranges to ascending partition
+    ids), a per-partition running sum (window keyed by partition id — P
+    concurrent windows, no global exchange to a single task), then the
+    per-partition totals (P rows, ~one per task) come to the driver for a
+    prefix sum and broadcast back. The only driver-side data is P longs —
+    a documented bounded exception like duplicate_key_bitmap's.
+
+    The reference has no packing; nearest analog is the batched pair
+    iterator it feeds its scorer (/root/reference/record_matching/
+    main.py:552-577). SQL-oracle-able (global cumsum is trivial at
+    verification scale) -> q44."""
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(
+            id_col,
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_nt"),
+        )
+        .repartitionByRange(n_part, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn(
+        "_local_end", F.sum("_nt").over(w)
+    ).localCheckpoint(eager=False)
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_t")).collect()
+    )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid, tot in totals:
+        prefix[pid] = acc
+        acc += tot or 0
+    pre_df = spark.createDataFrame(
+        [(p, o) for p, o in prefix.items()], "_pid int, _prefix long"
+    )
+    start = F.col("_prefix") + F.col("_local_end") - F.col("_nt")
+    end = start + F.greatest(F.col("_nt"), F.lit(1)) - 1
+    return (
+        local.join(F.broadcast(pre_df), "_pid")
+        .select(
+            F.col(id_col),
+            F.col("_nt").alias(token_col),
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            (start % budget).cast("long").alias("offset"),
+            (F.floor(end / budget) - F.floor(start / budget) + 1)
+            .cast("long")
+            .alias("n_seqs"),
+        )
+    )

@@ -135,6 +135,37 @@ def write_csv(df: DataFrame, dest: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(dest)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | T.StructType
+) -> DataFrame:
+    """JSONL (newline-delimited JSON) scan with an ENFORCED schema — the
+    interchange format training-data pipelines actually live on (one JSON
+    object per line; the document corpora public pipelines publish ship
+    this way). Schema is required, never inferred: inference needs an
+    extra full pass over 100 TB and silently widens types on dirty rows.
+    Corrupt lines land in `_corrupt_record` when the schema declares it;
+    otherwise mode=PERMISSIVE nulls them per-column (Spark default).
+    Reference analog: the enforced-schema table registration,
+    /root/reference/record_matching/context.py:110-154."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    dest: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSONL sink (one JSON object per line, one file per partition —
+    gzip/zstd via `compression` for shipping). Spark's json writer emits
+    newline-delimited objects, so the output is directly consumable by any
+    JSONL reader."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(dest)
+
+
 def write_stage(
     df: DataFrame,
     dest: str,

@@ -416,6 +416,72 @@ def test_self_dedup_three_way_keeps_exactly_one(spark):
         assert len(out[d]["clean_text"]) <= 2 * (8 + 4 - 2)
 
 
+# ---------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_matches_sequential_reference(spark):
+    """pack_sequences == a driver-side sequential concat-and-chunk pass,
+    independent of parallelism: same (seq_id, offset, n_seqs) per doc at 1
+    partition and at 16, straddlers span >1 seq, zero-token docs occupy
+    their start seq, and offsets are always in [0, budget)."""
+    from record_matching_spark.functions.sampling import pack_sequences
+
+    budget = 100
+    toks = [(i, nt) for i, nt in enumerate(
+        [37, 0, 250, 13, 99, 1, 100, 42, 7, 180, 55, 3, 61, 29, 98]
+    )]
+    expect = {}
+    start = 0
+    for i, nt in toks:
+        end = start + max(nt, 1) - 1
+        expect[i] = (start // budget, start % budget,
+                     end // budget - start // budget + 1)
+        start += nt
+    for n_part in (1, 16):
+        df = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+        out = {
+            r["doc_id"]: (r["seq_id"], r["offset"], r["n_seqs"])
+            for r in pack_sequences(
+                df, budget=budget, partitions=n_part
+            ).collect()
+        }
+        assert out == expect, n_part
+    assert expect[2][2] == 3          # 250-token doc spans 3 sequences
+    assert all(0 <= v[1] < budget for v in expect.values())
+
+
+# ----------------------------------------------------------- JSONL IO
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """write_jsonl emits newline-delimited JSON readable both by
+    read_jsonl (schema enforced) and a plain json.loads pass; values
+    survive the roundtrip byte-for-byte including unicode."""
+    from record_matching_spark.sources.io import read_jsonl, write_jsonl
+
+    rows = [
+        (1, "plain ascii text", 0.5),
+        (2, "unicode: cœur 知識 ий €", -3.25),
+        (3, 'quotes " and \\ backslash and\nnewline', 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    dest = str(tmp_path / "out_jsonl")
+    write_jsonl(df, dest)
+    back = read_jsonl(spark, dest, "doc_id long, text string, score double")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+    # raw-file check: every line parses standalone (true JSONL)
+    import glob
+
+    parsed = []
+    for f in glob.glob(dest + "/part-*"):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    parsed.append(json.loads(line))
+    assert len(parsed) == len(rows)
+    assert {p["doc_id"] for p in parsed} == {1, 2, 3}
+
+
 # ------------------------------------------- streaming decontamination
 
 
