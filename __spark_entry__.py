@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (40 of 44, including
+from SURVEY.md §2, DuckDB-oracled where expressible (41 of 45, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -14,7 +14,8 @@ q43's within-corpus keep-first substring dedup — each reconstructed
 post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
 checked against DuckDB's RE2 regexp engine, and q44's sequence packing
 — a distributed two-level prefix sum checked against the sequential
-global cumsum).
+global cumsum — and q45's HTML extraction, the same ordered regexp
+chain replayed on DuckDB's RE2).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -546,6 +547,28 @@ def _q44_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(tok, id_col="doc_id", token_col="n_tokens", budget=512)
 
 
+def _q45_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: HTML → prose extraction (the C4-style first
+    step on web crawl). The synthetic documents are plain text, so a
+    deterministic HTML wrapper (tags, a script block, a comment,
+    entities) is added IN THE QUERY on both the Spark and oracle sides;
+    the extracted text is compared verbatim against DuckDB's RE2 engine
+    applying the same ordered regexp chain."""
+    from record_matching_spark.functions.text import strip_html
+
+    d = _read(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), sid,
+        F.lit("</title><script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script>"),
+        F.lit("<style>.c{color:red}</style></head><body><!-- nav boilerplate -->"),
+        F.lit("<p>Tom &amp; Jerry &lt;rated&gt; &quot;5&#39;9&quot;&nbsp;tall</p><div class=\"main\">"),
+        F.col("text"),
+        F.lit("</div></body></html>"),
+    )
+    return d.select("doc_id", strip_html(html).alias("clean_text"))
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -698,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pii_scrub": _q42_pii_scrub,
         "q43_self_dedup_spans": _q43_self_dedup_spans,
         "q44_pack_sequences": _q44_pack_sequences,
+        "q45_html_extract": _q45_html_extract,
     }
 
 
@@ -1286,6 +1310,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(n_tokens, 1) - 1) // 512
                         - st // 512 + 1 AS BIGINT) AS n_seqs
             FROM cum
+        """,
+        "q45_html_extract": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title><script type="text/javascript">var x = 1 < 2 && 3 > 2;</script>'
+                       || '<style>.c{color:red}</style></head><body><!-- nav boilerplate -->'
+                       || '<p>Tom &amp; Jerry &lt;rated&gt; &quot;5&#39;9&quot;&nbsp;tall</p><div class="main">'
+                       || text
+                       || '</div></body></html>' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(
+                        regexp_replace(
+                         regexp_replace(
+                          regexp_replace(
+                           regexp_replace(
+                            regexp_replace(
+                             regexp_replace(
+                              regexp_replace(t,
+                                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '(?s)<!--.*?-->', ' ', 'g'),
+                            '(?s)<[^>]+>', ' ', 'g'),
+                           '&nbsp;', ' ', 'g'),
+                          '&lt;', '<', 'g'),
+                         '&gt;', '>', 'g'),
+                        '&quot;', '"', 'g'),
+                       '&#39;', '''', 'g'),
+                      '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS clean_text
+            FROM base
         """,
         "q39_line_dedup": """
             WITH ex AS (

@@ -123,6 +123,43 @@ def scrub_pii(
     )
 
 
+# Applied in order; every pattern stays inside the Java-regex/RE2-agreeing
+# subset ((?is) inline flags, non-greedy .*?, character classes) so the
+# DuckDB oracle is exact. script/style go first WITH their contents (their
+# text is not prose); then comments, then remaining tags; entities decode
+# after tag removal, &amp; strictly last (it is the escape of the escape).
+_HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """HTML → prose text (the C4-style extraction step a web-crawl
+    training pipeline runs first): drops <script>/<style> blocks with
+    their contents, comments, and all remaining tags; decodes the common
+    entities; collapses whitespace runs to single spaces and trims. Pure
+    Catalyst regexp chain — whole-stage codegen, one map-only scan, zero
+    shuffles at any corpus size. Deliberately regex-based (no DOM): at
+    100 TB the pipeline wants a linear scan with bounded memory, and
+    boilerplate/quality filtering downstream (q15/q40) absorbs the
+    residual noise a parser would have caught. The reference has no HTML
+    handling; analog: its normalize/templating first stage
+    (/root/reference/record_matching/main.py:69-88)."""
+    cur = col
+    for pat, rep in _HTML_STEPS:
+        cur = F.regexp_replace(cur, pat, rep)
+    return F.trim(F.regexp_replace(cur, r"\s+", " "))
+
+
 def doc_fingerprint(col: Column, shingle: int = 8) -> Column:
     """Single-min document fingerprint: min xxhash64 over all
     `shingle`-char substrings (rolling-hash analog, fully Catalyst — and

@@ -416,6 +416,40 @@ def test_self_dedup_three_way_keeps_exactly_one(spark):
         assert len(out[d]["clean_text"]) <= 2 * (8 + 4 - 2)
 
 
+# ---------------------------------------------------- HTML extraction
+
+
+def test_strip_html(spark):
+    """strip_html: script/style blocks vanish WITH their contents,
+    comments and tags vanish, entities decode (amp last, and entities
+    decoded into tag-shaped text are NOT re-stripped), whitespace
+    collapses; plain text passes through (modulo whitespace collapse)."""
+    from record_matching_spark.functions.text import strip_html
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "<script>ignore < this && that ></script>keep"),
+        (3, "<style>.x{a:b}</style>styled<!-- note -->text"),
+        (4, "a &lt;tag&gt; &amp;amp; &quot;q&#39;s&quot;&nbsp;end"),
+        (5, "plain   text\n\nwith   gaps"),
+        (6, "<div\nclass='multi\nline'>attr spans lines</div>"),
+    ]
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", strip_html(F.col("text")).alias("clean"))
+        .collect()
+    }
+    assert out[1] == "Hello world"
+    assert out[2] == "keep"
+    assert out[3] == "styled text"
+    # &amp;amp; decodes to &amp; (single pass, amp last); &lt;tag&gt;
+    # becomes literal <tag> and is NOT stripped (decode is after strip)
+    assert out[4] == "a <tag> &amp; \"q's\" end"
+    assert out[5] == "plain text with gaps"
+    assert out[6] == "attr spans lines"
+
+
 # ---------------------------------------------------- sequence packing
 
 
