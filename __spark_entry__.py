@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (41 of 45, including
+from SURVEY.md §2, DuckDB-oracled where expressible (46 of 50, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -15,7 +15,10 @@ post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
 checked against DuckDB's RE2 regexp engine, and q44's sequence packing
 — a distributed two-level prefix sum checked against the sequential
 global cumsum — and q45's HTML extraction, the same ordered regexp
-chain replayed on DuckDB's RE2).
+chain replayed on DuckDB's RE2; q46-q50 round out the training-data
+family: unigram-LM quality scoring, exact n-gram decontamination,
+mixture accounting, temperature resampling, and end-to-end near-dup
+corpus dedup — each replayed exactly in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -569,6 +572,81 @@ def _q45_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", strip_html(html).alias("clean_text"))
 
 
+def _q46_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: corpus-self-trained unigram-LM quality score —
+    mean negative log probability of each doc's tokens under the corpus's
+    own unigram distribution (the CCNet-style fluency signal, no external
+    model). Per-(doc,token) counts collapse before the broadcast vocab
+    join; oracle recomputes the same distribution in SQL."""
+    from record_matching_spark.functions.text import unigram_logprob
+
+    d = _read(spark, sf, "documents")
+    r = unigram_logprob(d, text_col="text", id_col="doc_id")
+    return r.select(
+        "doc_id", "n_tokens", F.round("neg_logprob", 6).alias("neg_logprob")
+    )
+
+
+def _q47_ngram_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: exact n-gram decontamination (GPT-3/PaLM mode)
+    — corpus docs sharing any exact 8-token run with the benchmark split
+    (sources src0-src2, as in q38/q41), probe n-gram set broadcast so the
+    corpus crosses one map-only scan. portable=True joins on the raw gram
+    string so DuckDB reproduces counts exactly."""
+    from record_matching_spark.functions.dedup import ngram_decontaminate
+
+    d = _read(spark, sf, "documents")
+    probe = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    corpus = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return ngram_decontaminate(corpus, probe, n=8, portable=True)
+
+
+def _q48_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: mixture accounting — tokens/docs/share/
+    cumulative share per (source, lang), the table mixture weights and
+    epochs-per-source budgets are read off of. One corpus-wide hash agg;
+    windows run over #groups rows only."""
+    from record_matching_spark.functions.sampling import mixture_report
+    from record_matching_spark.functions.text import token_count
+
+    d = _read(spark, sf, "documents")
+    t = d.select("source", "lang", token_count(F.col("text")).alias("n_tokens"))
+    r = mixture_report(t, group_cols=["source", "lang"], weight_col="n_tokens")
+    return r.select(
+        "source", "lang", "docs", "tokens",
+        F.round("share", 6).alias("share"),
+        F.round("cum_share", 6).alias("cum_share"),
+        "rank",
+    )
+
+
+def _q49_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: temperature-based mixture rebalancing — keep a
+    deterministic md5-hash-chosen subset per language with probability
+    (n_s/n_min)^(alpha-1) (alpha=0.5: sampled counts ∝ sqrt(n_s), the
+    multilingual upweighting rule — the testdata's lang column is the
+    skewed axis; source is uniform). Append-stable membership; group
+    thresholds broadcast; one map-only filter."""
+    from record_matching_spark.functions.sampling import temperature_sample
+
+    d = _read(spark, sf, "documents")
+    r = temperature_sample(
+        d, group_col="lang", alpha=0.5, id_col="doc_id", portable=True
+    )
+    return r.select("doc_id", "lang", "keep_thresh")
+
+
+def _q50_near_dedup_keep_one(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: end-to-end near-dup DEDUP — minhash-LSH
+    verified pairs → distributed transitive closure → keep-one-per-cluster
+    (min doc_id survives). The composed corpus-dedup operation, oracled by
+    the q26 recursive-CTE closure with a kept flag."""
+    from record_matching_spark.functions.dedup import near_dedup_keep_min
+
+    d = _read(spark, sf, "documents")
+    return near_dedup_keep_min(d, threshold=0.9)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -722,6 +800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_self_dedup_spans": _q43_self_dedup_spans,
         "q44_pack_sequences": _q44_pack_sequences,
         "q45_html_extract": _q45_html_extract,
+        "q46_unigram_logprob": _q46_unigram_logprob,
+        "q47_ngram_decontaminate": _q47_ngram_decontaminate,
+        "q48_mixture_report": _q48_mixture_report,
+        "q49_temperature_sample": _q49_temperature_sample,
+        "q50_near_dedup_keep_one": _q50_near_dedup_keep_one,
     }
 
 
@@ -1513,5 +1596,102 @@ def oracle_sql() -> dict[str, str]:
                        FROM c GROUP BY cluster_id, n_chars) WHERE rn = 1)
             SELECT sz.cluster_id, sz.cluster_size, m1.source, m2.n_chars
             FROM sz JOIN m1 USING (cluster_id) JOIN m2 USING (cluster_id)
+        """,
+        "q46_unigram_logprob": r"""
+            WITH tk AS (
+                SELECT doc_id, unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0)) AS tok
+                FROM documents
+            ),
+            dc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tk GROUP BY doc_id, tok),
+            v AS (SELECT tok, sum(c) AS cnt FROM dc GROUP BY tok),
+            n AS (SELECT sum(cnt)::DOUBLE AS total FROM v),
+            s AS (
+                SELECT doc_id, sum(c) AS n_tokens,
+                       sum(c * -ln(cnt / total)) / sum(c) AS nlp
+                FROM dc JOIN v USING (tok), n
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(s.nlp, 0.0), 6) AS neg_logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "q47_ngram_decontaminate": r"""
+            WITH tk AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, source,
+                       array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+                FROM tk,
+                     unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+            ),
+            pg AS (SELECT DISTINCT gram FROM g
+                   WHERE source IN ('src0', 'src1', 'src2'))
+            SELECT doc_id, count(*) AS n_matched
+            FROM g JOIN pg USING (gram)
+            WHERE source NOT IN ('src0', 'src1', 'src2')
+            GROUP BY doc_id
+        """,
+        "q48_mixture_report": r"""
+            WITH t AS (
+                SELECT source, lang,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> len(x) > 0)) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            g AS (SELECT source, lang, count(*) AS docs,
+                         sum(n_tokens) AS tokens
+                  FROM t GROUP BY source, lang)
+            SELECT source, lang, docs, CAST(tokens AS BIGINT) AS tokens,
+                   round(tokens / sum(tokens) OVER (), 6) AS share,
+                   round(sum(tokens) OVER (ORDER BY tokens DESC, source, lang
+                                           ROWS UNBOUNDED PRECEDING)
+                         / sum(tokens) OVER (), 6) AS cum_share,
+                   CAST(row_number() OVER (ORDER BY tokens DESC, source, lang)
+                        AS INT) AS rank
+            FROM g
+        """,
+        "q49_temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY lang),
+            th AS (SELECT lang,
+                          CAST(floor(pow(n::DOUBLE / min(n) OVER (), -0.5)
+                                     * 1000000) AS BIGINT) AS keep_thresh
+                   FROM c)
+            SELECT d.doc_id, d.lang, th.keep_thresh
+            FROM documents d JOIN th USING (lang)
+            WHERE ('0x' || substr(md5('temp' || '|' || d.doc_id::VARCHAR),
+                                  1, 8))::UBIGINT % 1000000 < th.keep_thresh
+        """,
+        "q50_near_dedup_keep_one": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id, text,
+                         list_sort(list_distinct({_TOKS})) AS toks
+                  FROM documents),
+            p AS MATERIALIZED (
+                SELECT a.doc_id AS l, b.doc_id AS r FROM t a JOIN t b
+                ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                           THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
+                           ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                                / len(list_distinct(list_concat(a.toks, b.toks)))
+                      END >= 0.9),
+            e AS (SELECT l, r FROM p UNION ALL SELECT r AS l, l AS r FROM p),
+            walk(node, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.node, e.r FROM walk w JOIN e ON e.l = w.reach
+            )
+            SELECT node AS doc_id, min(reach) AS cluster_id,
+                   (node = min(reach)) AS kept
+            FROM walk GROUP BY node
         """,
     }

@@ -7,6 +7,7 @@ from record_matching_spark.functions.text import (  # noqa: F401
     winnow_overlap_pairs,
     winnow_span_pairs,
     repetition_features,
+    unigram_logprob,
 )
 from record_matching_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -16,6 +17,8 @@ from record_matching_spark.functions.dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     cross_corpus_near_dup_pairs,
     dedup_lines,
+    ngram_decontaminate,
+    near_dedup_keep_min,
 )
 from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
@@ -30,4 +33,7 @@ from record_matching_spark.functions.sampling import (  # noqa: F401
     hash_bucket,
     hash_split,
     quota_sample,
+    pack_sequences,
+    mixture_report,
+    temperature_sample,
 )

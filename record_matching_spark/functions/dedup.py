@@ -531,3 +531,90 @@ def dedup_lines(
         )
     )
     return out if keep_text else out.drop("dedup_text")
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3/PaLM mode: a training doc
+    is contaminated if it shares ANY exact n-token run with a benchmark
+    doc) — the third decontamination mode beside near-dup (q38 minhash)
+    and surgical span excision (q41 winnowing). Tokens are
+    whitespace-split lowercase; n-grams are consecutive token windows.
+
+    Scale shape mirrors cross_corpus_near_dup_pairs: the probe side's
+    DISTINCT n-gram keys broadcast (benchmark suites are tiny next to a
+    100-TB corpus), so the corpus crosses ONE map-only scan + broadcast
+    join — zero corpus-sized exchanges. The per-(corpus-doc) match count
+    aggregates on id_col only. portable=False keys n-grams by xxhash64
+    (8 bytes/gram in the broadcast); portable=True keys by the raw gram
+    string so any engine reproduces it exactly -> DuckDB oracle q47.
+
+    Output: (id_col, n_matched) — corpus docs sharing >= 1 distinct
+    probe n-gram, with how many distinct probe n-grams they contain."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: F.length(t) > 0)
+        g = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        key = F.col("gram") if portable else F.xxhash64(F.lit("ng"), F.col("gram"))
+        return (
+            df.select(F.col(id_col), F.explode(g).alias("gram"))
+            .select(F.col(id_col), key.alias("_gk"))
+            .distinct()
+        )
+
+    pg = grams(probe).select("_gk").distinct()
+    if broadcast_probe:
+        pg = F.broadcast(pg)
+    return (
+        grams(corpus)
+        .join(pg, "_gk", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+def near_dedup_keep_min(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-duplicate DEDUP of a corpus: MinHash-LSH candidate
+    pairs with exact-Jaccard verification (minhash_near_dup_pairs), then
+    transitive closure over the verified pair graph (large/small-star CC),
+    then keep-one-per-cluster — the lowest id in each near-dup cluster
+    survives. This is the composed operation a training pipeline actually
+    runs ("dedup the corpus"), not just the pair listing; the composition
+    is itself the scale path: banded LSH pairs + O(log n)-round
+    distributed CC, never all-pairs, never a driver-side union-find.
+
+    Output: (id_col, cluster_id, kept) for EVERY input row — kept is true
+    exactly for the cluster minimum (singletons are their own cluster and
+    always kept). DuckDB-oracled (q50) via the q26 recursive-CTE closure
+    over brute-force Jaccard pairs."""
+    from record_matching_spark.operators.cluster import cluster_assignments
+
+    pairs = minhash_near_dup_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    edges = pairs.select(F.col("left").alias("src"), F.col("right").alias("dst"))
+    assign = cluster_assignments(edges, df, id_col)
+    return assign.select(
+        F.col(id_col),
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("kept"),
+    )

@@ -94,6 +94,101 @@ def quota_sample(
     )
 
 
+def mixture_report(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Training-mix accounting: per group (source × lang × …), total
+    weight (tokens), doc count, share of the corpus, and cumulative share
+    in descending-weight order — the table every pretraining-mixture
+    decision (and every epochs-per-source budget) is read off of.
+
+    Scale shape: ONE hash aggregate over the corpus reduces 100 TB to
+    #groups rows (domains × languages — thousands at most); the share /
+    cumulative-share windows then run over those #groups rows only, so
+    the single-partition global window is bounded by the group count,
+    never the corpus (documented bounded exception, like pack_sequences'
+    P-row driver prefix). Deterministic total order: weight desc, then
+    the group columns. Output: group_cols + (docs, tokens, share,
+    cum_share, rank)."""
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("tokens"),
+    )
+    order = [F.desc("tokens")] + [F.asc(c) for c in group_cols]
+    w = Window.orderBy(*order)
+    total = Window.partitionBy()
+    return g.select(
+        *group_cols,
+        "docs",
+        "tokens",
+        (F.col("tokens") / F.sum("tokens").over(total)).alias("share"),
+        (
+            F.sum("tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / F.sum("tokens").over(total)
+        ).alias("cum_share"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "temp",
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual/multi-domain
+    rebalancing rule: sampled counts ∝ n_s^alpha, alpha<1 upweights small
+    groups): each group keeps a deterministic hash-chosen subset with
+    keep probability (n_s / n_min)^(alpha-1), normalized so the SMALLEST
+    group keeps everything. Membership is a pure function of (row key,
+    group-count vector): rerunning or repartitioning never changes it,
+    and because a row is kept iff hash(key) < thresh(group), growing a
+    group only SHEDS members monotonically (its threshold falls) — it
+    never swaps one kept row for another. (Strict hash_split-style
+    append stability is impossible here by definition: the keep
+    probability IS a function of the group sizes.)
+
+    Scale shape: one hash aggregate for group counts (#groups rows), the
+    per-group keep threshold broadcast back, one map-only filter over the
+    corpus — zero corpus-sized shuffles. portable=True uses the md5
+    bucket (DuckDB-oracled q49); default xxhash64.
+
+    Output: the kept rows of df (all columns), plus keep_thresh (the
+    group's threshold in millionths, an exact integer both engines
+    compute identically via floor)."""
+    n = 1_000_000
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    wmin = Window.partitionBy()
+    thresh = counts.select(
+        group_col,
+        F.floor(
+            F.pow(
+                F.col("_n").cast("double")
+                / F.min("_n").over(wmin).cast("double"),
+                F.lit(alpha - 1.0),
+            )
+            * n
+        )
+        .cast("long")
+        .alias("keep_thresh"),
+    )
+    bucket = (
+        md5_bucket(F.col(id_col), n, seed)
+        if portable
+        else F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n))
+    )
+    return (
+        df.join(F.broadcast(thresh), group_col)
+        .filter(bucket.cast("long") < F.col("keep_thresh"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

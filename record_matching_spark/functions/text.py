@@ -831,6 +831,65 @@ def repetition_features(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-self-trained unigram language-model score per document: the
+    mean negative natural-log probability of the document's tokens under
+    the corpus's own unigram distribution (the CCNet/Wikipedia-LM quality
+    signal family — low = in-distribution fluent text, high = rare-token
+    noise — trained distributively on the corpus itself, no external
+    model, per the north rule).
+
+    Scale shape: the exploded token stream is collapsed to per-(doc,
+    token) counts FIRST (one shuffle on id_col+token), so the vocabulary
+    join touches one row per distinct token per doc, not one per
+    occurrence; the vocabulary itself (Zipf-small relative to any corpus)
+    is re-aggregated from those counts and broadcast when
+    `broadcast_vocab` (at true 100-TB vocab sizes, disable and let AQE
+    pick the join). The only driver-side value is the scalar total token
+    count. No UDFs; fully SQL-expressible -> DuckDB oracle q46.
+
+    Output: (id_col, n_tokens, neg_logprob double) — one row per input
+    row; tokenless docs get neg_logprob 0.0. Reference analog: the
+    reference scores record similarity, not corpus fluency; this is part
+    of the training-data-pipeline extension (SURVEY §2 extension table).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    doc_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 0
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = (
+        doc_tok.join(v, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * -F.log(F.col("cnt") / F.lit(float(total))))
+                / F.sum("c")
+            ).alias("neg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("neg_logprob", F.lit(0.0)).alias("neg_logprob"),
+        )
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (

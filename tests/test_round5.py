@@ -630,3 +630,152 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out[5]["clean_text"] == rows[4][1]
     assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (0, 0, 0)
     assert out[6]["clean_text"] == ""
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Rare-token docs must score strictly higher (more surprising) than
+    common-token docs under the corpus's own unigram LM; a hand example
+    pins the exact value."""
+    import math
+
+    from record_matching_spark.functions.text import unigram_logprob
+
+    rows = [
+        (1, "a a a"),        # 'a' x3
+        (2, "a a b"),        # 'b' rarer than 'a'
+        (3, "c"),            # singleton token: rarest
+        (4, ""),             # tokenless
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # corpus counts: a=5, b=1, c=1, total=7
+    t = 7.0
+    exp1 = -math.log(5 / t)
+    exp2 = (2 * -math.log(5 / t) + -math.log(1 / t)) / 3
+    assert abs(out[1]["neg_logprob"] - exp1) < 1e-12
+    assert abs(out[2]["neg_logprob"] - exp2) < 1e-12
+    assert abs(out[3]["neg_logprob"] - (-math.log(1 / t))) < 1e-12
+    assert out[4]["neg_logprob"] == 0.0 and out[4]["n_tokens"] == 0
+    assert out[1]["neg_logprob"] < out[2]["neg_logprob"] < out[3]["neg_logprob"]
+    assert out[1]["n_tokens"] == 3
+
+
+def test_ngram_decontaminate_planted_leak(spark):
+    """A corpus doc embedding an exact n-token probe run is flagged with
+    the right distinct-gram count; clean docs are absent; the portable
+    (string-key) and production (xxhash64-key) modes agree."""
+    from record_matching_spark.functions.dedup import ngram_decontaminate
+
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains tokens 1-10 of the probe verbatim -> for n=5 that is
+            # 6 distinct probe 5-grams
+            (1, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            (2, "completely unrelated text with no shared runs at all here"),
+            # shares only a 4-token run -> no 5-gram match
+            (3, "quick brown fox jumps somewhere else entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        out = {
+            r["doc_id"]: r["n_matched"]
+            for r in ngram_decontaminate(
+                corpus, probe, n=5, portable=portable
+            ).collect()
+        }
+        assert out == {1: 6}, out
+
+
+def test_mixture_report_shares(spark):
+    from record_matching_spark.functions.sampling import mixture_report
+
+    rows = [
+        ("web", "en", 100), ("web", "en", 200),   # web/en: 300
+        ("web", "de", 50),                          # web/de: 50
+        ("code", "en", 150),                        # code/en: 150
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, n_tokens long")
+    out = {
+        (r["source"], r["lang"]): r
+        for r in mixture_report(
+            df, group_cols=["source", "lang"], weight_col="n_tokens"
+        ).collect()
+    }
+    assert out[("web", "en")]["rank"] == 1
+    assert out[("web", "en")]["tokens"] == 300
+    assert abs(out[("web", "en")]["share"] - 0.6) < 1e-12
+    assert abs(out[("code", "en")]["cum_share"] - 0.9) < 1e-12
+    assert abs(out[("web", "de")]["cum_share"] - 1.0) < 1e-12
+    assert out[("web", "de")]["rank"] == 3
+    assert out[("web", "en")]["docs"] == 2
+
+
+def test_temperature_sample_properties(spark):
+    """alpha=1 keeps everything; alpha=0.5 keeps ~sqrt-proportional counts
+    with the smallest group intact; membership is deterministic across
+    repartitioning, and growing a group only SHEDS members (threshold
+    falls) — it never swaps kept rows."""
+    from record_matching_spark.functions.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 3200 else "small") for i in range(3600)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    full = temperature_sample(df, group_col="grp", alpha=1.0, id_col="doc_id")
+    assert full.count() == 3600
+
+    half = temperature_sample(df, group_col="grp", alpha=0.5, id_col="doc_id")
+    kept = half.groupBy("grp").count().collect()
+    by = {r["grp"]: r["count"] for r in kept}
+    assert by["small"] == 400                      # smallest group: keep all
+    # big keeps ~ (3200/400)^-0.5 = 35.36% of 3200 = ~1131
+    assert 1000 < by["big"] < 1260, by
+    kept_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    # deterministic across physical layout
+    again = temperature_sample(
+        df.repartition(13), group_col="grp", alpha=0.5, id_col="doc_id"
+    )
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == kept_ids
+    # growing 'big' lowers only its threshold: old kept rows can only be
+    # shed, never swapped; 'small' (still the min group) is untouched
+    more = spark.createDataFrame(
+        rows + [(i, "big") for i in range(4000, 4800)],
+        "doc_id long, grp string",
+    )
+    half2 = temperature_sample(more, group_col="grp", alpha=0.5, id_col="doc_id")
+    kept2 = {r["doc_id"] for r in half2.select("doc_id").collect() if r["doc_id"] < 3600}
+    assert kept2 <= kept_ids
+    small_ids = {i for i, g in rows if g == "small"}
+    assert kept2 & small_ids == kept_ids & small_ids == small_ids
+
+
+def test_near_dedup_keep_min(spark):
+    """End-to-end near-dup dedup: exact duplicate groups collapse to their
+    min id; unique docs survive as their own kept singleton."""
+    from record_matching_spark.functions.dedup import near_dedup_keep_min
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        [(i, base) for i in (7, 3, 9)]
+        + [(i, "one two three four five six seven eight nine ten") for i in (20, 21)]
+        + [(30, "totally unique words describing nothing shared anywhere else")]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in near_dedup_keep_min(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold=0.9,
+        ).collect()
+    }
+    assert out[3] == (3, True) and out[7] == (3, False) and out[9] == (3, False)
+    assert out[20] == (20, True) and out[21] == (20, False)
+    assert out[30] == (30, True)
+    assert len(out) == 6
