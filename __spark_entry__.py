@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (46 of 50, including
+from SURVEY.md §2, DuckDB-oracled where expressible (48 of 52, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -15,10 +15,11 @@ post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
 checked against DuckDB's RE2 regexp engine, and q44's sequence packing
 — a distributed two-level prefix sum checked against the sequential
 global cumsum — and q45's HTML extraction, the same ordered regexp
-chain replayed on DuckDB's RE2; q46-q50 round out the training-data
+chain replayed on DuckDB's RE2; q46-q52 round out the training-data
 family: unigram-LM quality scoring, exact n-gram decontamination,
-mixture accounting, temperature resampling, and end-to-end near-dup
-corpus dedup — each replayed exactly in SQL).
+mixture accounting, temperature resampling, end-to-end near-dup corpus
+dedup, the composed quality-filter chain with per-rule verdicts, and
+deterministic global shuffle rank — each replayed exactly in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -647,6 +648,33 @@ def _q50_near_dedup_keep_one(spark: SparkSession, sf: str) -> DataFrame:
     return near_dedup_keep_min(d, threshold=0.9)
 
 
+def _q51_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: the composed C4/Gopher quality-filter chain
+    with per-rule verdicts (first failing rule wins — too_short /
+    lang_blocked / low_quality / repetitive_2gram / pass), thresholds
+    calibrated to bind on this corpus (p90 top-2gram coverage = 0.118).
+    Length/lang/quality rules are one map-only Catalyst scan; the Gopher
+    repetition join engages only because its threshold binds."""
+    from record_matching_spark.functions.text import quality_filter
+
+    d = _read(spark, sf, "documents")
+    return quality_filter(
+        d, min_chars=100, allowed_langs=["en", "de", "fr", "es"],
+        lang_col="lang", min_quality=0.45, max_top_2gram_frac=0.12,
+    )
+
+
+def _q52_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: deterministic global shuffle — dense 0-based
+    rank of each doc under the md5(seed|id) permutation, computed with
+    the two-level prefix sum (never a single-partition global window);
+    the oracle is the trivially-sequential row_number in DuckDB."""
+    from record_matching_spark.functions.sampling import global_shuffle_rank
+
+    d = _read(spark, sf, "documents")
+    return global_shuffle_rank(d, id_col="doc_id", seed="shuffle", portable=True)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -805,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_mixture_report": _q48_mixture_report,
         "q49_temperature_sample": _q49_temperature_sample,
         "q50_near_dedup_keep_one": _q50_near_dedup_keep_one,
+        "q51_quality_filter": _q51_quality_filter,
+        "q52_shuffle_rank": _q52_shuffle_rank,
     }
 
 
@@ -1693,5 +1723,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS cluster_id,
                    (node = min(reach)) AS kept
             FROM walk GROUP BY node
+        """,
+        "q51_quality_filter": rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> len(x) > 0) AS tk,
+                       length(text) AS tlen
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram, tlen
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+            ),
+            gw AS (SELECT doc_id, gram, count(*) AS cnt, min(tlen) AS tlen
+                   FROM grams GROUP BY doc_id, gram),
+            tg AS (SELECT doc_id,
+                          cnt * length(gram)::DOUBLE / greatest(tlen, 1) AS tgf,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram) AS rn
+                   FROM gw),
+            top AS (SELECT doc_id, tgf FROM tg WHERE rn = 1),
+            v AS (
+                SELECT d.doc_id,
+                       CASE
+                         WHEN length(d.text) < 100 THEN 'too_short'
+                         WHEN d.lang NOT IN ('en', 'de', 'fr', 'es')
+                           THEN 'lang_blocked'
+                         WHEN least(4.0 * (len(regexp_extract_all(lower(d.text),
+                                    '{_STOP_PAT}'))::DOUBLE
+                                / greatest(len(list_filter(
+                                    string_split_regex(d.text, '\s+'),
+                                    x -> len(x) > 0)), 1)), 1.0) * 0.4
+                              + (len(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+                                 / greatest(length(d.text), 1)) * 0.3
+                              + least(length(d.text)::DOUBLE / 500.0, 1.0) * 0.3
+                              < 0.45 THEN 'low_quality'
+                         WHEN coalesce(top.tgf, 0.0) > 0.12
+                           THEN 'repetitive_2gram'
+                         ELSE 'pass'
+                       END AS verdict
+                FROM documents d LEFT JOIN top USING (doc_id)
+            )
+            SELECT doc_id, verdict, (verdict = 'pass') AS kept FROM v
+        """,
+        "q52_shuffle_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
     }

@@ -8,6 +8,7 @@ from record_matching_spark.functions.text import (  # noqa: F401
     winnow_span_pairs,
     repetition_features,
     unigram_logprob,
+    quality_filter,
 )
 from record_matching_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -36,4 +37,5 @@ from record_matching_spark.functions.sampling import (  # noqa: F401
     pack_sequences,
     mixture_report,
     temperature_sample,
+    global_shuffle_rank,
 )

@@ -189,6 +189,62 @@ def temperature_sample(
     )
 
 
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    portable: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    dense 0-based `shuffle_rank` equal to its position in the corpus
+    ordered by hash(seed|id) — the reproducible corpus permutation a
+    pretraining run reads in, stable across reruns and parallelism, and
+    re-dealable by changing `seed` (epoch reshuffles: seed='epoch1', …).
+
+    Scale shape — a global row_number() is ONE window over ONE partition,
+    a non-starter at 100 TB. This reuses pack_sequences' two-level scan:
+    range-repartition on the hash (RangePartitioner gives ascending hash
+    ranges ascending partition ids), per-partition row_number (P
+    concurrent windows), then the P partition counts come to the driver
+    for a prefix sum broadcast back (the documented bounded exception —
+    P longs). Ties (hash collisions) break by id, so the permutation is
+    total and engine-independent. portable=True hashes via md5 (DuckDB
+    oracle q52); default xxhash64. Output: (id_col, shuffle_rank)."""
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    if portable:
+        h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    else:
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    ranged = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .repartitionByRange(n_part, F.col("_h"), F.col(id_col))
+        .sortWithinPartitions("_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
+    totals = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.max("_rn").alias("_n")).collect()
+    )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in totals:
+        prefix[pid] = acc
+        acc += cnt or 0
+    pre_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in prefix.items()], "_pid int, _prefix long"
+    )
+    return local.join(F.broadcast(pre_df), "_pid").select(
+        F.col(id_col),
+        (F.col("_prefix") + F.col("_rn") - 1).cast("long").alias("shuffle_rank"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -890,6 +890,72 @@ def unigram_logprob(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+    max_chars: int = 2_000_000_000,
+    allowed_langs: list[str] | None = None,
+    lang_col: str | None = None,
+    min_quality: float = 0.0,
+    max_dup_line_frac: float = 1.0,
+    max_top_2gram_frac: float = 1.0,
+) -> DataFrame:
+    """The composed document-quality FILTER step (the C4/Gopher rule chain
+    every public training pipeline runs), with per-rule accountability:
+    each doc gets a verdict — the FIRST failing rule in a fixed order, or
+    'pass' — so drop counts per rule are one groupBy away and a threshold
+    change is auditable, instead of an opaque boolean.
+
+    Rule order (first failure wins): too_short, too_long, lang_blocked,
+    low_quality, repetitive_lines, repetitive_2gram. Language comes from
+    `lang_col` when given (upstream metadata) or the engine's own
+    language_id otherwise; `allowed_langs=None` disables the rule.
+
+    Scale shape: the length/lang/quality rules are pure Catalyst in one
+    map-only scan; the two repetition signals (Gopher rules) need a
+    per-doc aggregate, so repetition_features is joined ONLY when one of
+    their thresholds actually binds — a disabled rule costs nothing.
+    Fully SQL-expressible -> DuckDB oracle q51.
+
+    Output: (id_col, verdict, kept boolean), one row per input row."""
+    c = F.col(text_col)
+    lang = F.col(lang_col) if lang_col else language_id(c)
+    need_rep = max_dup_line_frac < 1.0 or max_top_2gram_frac < 1.0
+    base = df.select(F.col(id_col), c.alias("_t"), lang.alias("_lang"))
+    if need_rep:
+        rep = repetition_features(df, id_col=id_col, text_col=text_col)
+        base = base.join(rep, id_col)
+    else:
+        base = base.withColumn("dup_line_frac", F.lit(0.0)).withColumn(
+            "top_2gram_char_frac", F.lit(0.0)
+        )
+    t = F.col("_t")
+    verdict = (
+        F.when(F.length(t) < min_chars, "too_short")
+        .when(F.length(t) > max_chars, "too_long")
+        .when(
+            ~F.col("_lang").isin(*allowed_langs)
+            if allowed_langs
+            else F.lit(False),
+            "lang_blocked",
+        )
+        .when(quality_score(t) < min_quality, "low_quality")
+        .when(F.col("dup_line_frac") > max_dup_line_frac, "repetitive_lines")
+        .when(
+            F.col("top_2gram_char_frac") > max_top_2gram_frac,
+            "repetitive_2gram",
+        )
+        .otherwise("pass")
+    )
+    return base.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        (verdict == "pass").alias("kept"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (

@@ -779,3 +779,78 @@ def test_near_dedup_keep_min(spark):
     assert out[20] == (20, True) and out[21] == (20, False)
     assert out[30] == (30, True)
     assert len(out) == 6
+
+
+def test_quality_filter_verdicts(spark):
+    """Each rule fires on its planted doc; FIRST failing rule wins; docs
+    passing all rules are kept; disabled rules cost nothing and never
+    fire."""
+    from record_matching_spark.functions.text import quality_filter
+
+    good = ("the good and long document " * 8).strip()
+    rows = [
+        (1, "tiny", "en"),                 # too_short (also wrong-lang: order)
+        (2, good, "zh"),                    # lang_blocked
+        (3, "9" * 200, "en"),               # low_quality: digits only
+        (4, "the dup line is fine\nthe dup line is fine\nunique the end",
+         "en"),                              # repetitive_lines
+        (5, ("ab cd " * 40).strip(), "en"),  # repetitive_2gram
+        (6, good, "en"),                    # pass
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["verdict"], r["kept"])
+        for r in quality_filter(
+            df, min_chars=20, allowed_langs=["en"], lang_col="lang",
+            min_quality=0.3, max_dup_line_frac=0.5, max_top_2gram_frac=0.5,
+        ).collect()
+    }
+    assert out[1] == ("too_short", False)
+    assert out[2] == ("lang_blocked", False)
+    assert out[3] == ("low_quality", False)
+    assert out[4] == ("repetitive_lines", False)
+    assert out[5] == ("repetitive_2gram", False)
+    assert out[6] == ("pass", True)
+    # all rules disabled -> everything passes, repetition join not needed
+    all_pass = quality_filter(df).collect()
+    assert all(r["kept"] for r in all_pass) and len(all_pass) == 6
+
+
+def test_global_shuffle_rank_permutation(spark):
+    """Ranks are a dense 0..n-1 permutation, identical across partition
+    counts and physical layout; different seeds deal different orders;
+    the permutation actually shuffles (not identity)."""
+    from record_matching_spark.functions.sampling import global_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    r1 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, partitions=16).collect()
+    }
+    assert sorted(r1.values()) == list(range(500))
+    r2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(
+            df.repartition(7), partitions=1
+        ).collect()
+    }
+    assert r1 == r2
+    r3 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, seed="epoch2", partitions=16).collect()
+    }
+    assert sorted(r3.values()) == list(range(500))
+    assert r3 != r1
+    assert r1 != {i: i for i in range(500)}
+    # portable (md5) mode is also a permutation and layout-stable
+    p1 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, portable=True, partitions=16).collect()
+    }
+    p2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(
+            df.repartition(3), portable=True, partitions=4
+        ).collect()
+    }
+    assert p1 == p2 and sorted(p1.values()) == list(range(500))
