@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (48 of 52, including
+from SURVEY.md §2, DuckDB-oracled where expressible (49 of 53, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -15,11 +15,12 @@ post-excision text pinned by sha256 in SQL — and q42's PII scrubbing
 checked against DuckDB's RE2 regexp engine, and q44's sequence packing
 — a distributed two-level prefix sum checked against the sequential
 global cumsum — and q45's HTML extraction, the same ordered regexp
-chain replayed on DuckDB's RE2; q46-q52 round out the training-data
+chain replayed on DuckDB's RE2; q46-q53 round out the training-data
 family: unigram-LM quality scoring, exact n-gram decontamination,
 mixture accounting, temperature resampling, end-to-end near-dup corpus
-dedup, the composed quality-filter chain with per-rule verdicts, and
-deterministic global shuffle rank — each replayed exactly in SQL).
+dedup, the composed quality-filter chain with per-rule verdicts,
+deterministic global shuffle rank, and token-balanced shard layout —
+each replayed exactly in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -675,6 +676,29 @@ def _q52_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle_rank(d, id_col="doc_id", seed="shuffle", portable=True)
 
 
+def _q53_shard_by_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: the layout finisher — shuffle (q52's md5
+    permutation) then deal whole docs into 8 token-balanced shards
+    (ceil(total/8) budget, docs never split), with each doc's 0-based
+    position within its shard. One two-level-prefix scan; the oracle
+    replays the sequential cumsum in DuckDB."""
+    from record_matching_spark.functions.sampling import (
+        global_shuffle_rank, shard_by_budget,
+    )
+    from record_matching_spark.functions.text import token_count
+
+    d = _read(spark, sf, "documents")
+    tok = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    ranked = tok.join(
+        global_shuffle_rank(d, id_col="doc_id", seed="shuffle", portable=True),
+        "doc_id",
+    )
+    return shard_by_budget(
+        ranked, id_col="doc_id", token_col="n_tokens", n_shards=8,
+        order_col="shuffle_rank",
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -835,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_near_dedup_keep_one": _q50_near_dedup_keep_one,
         "q51_quality_filter": _q51_quality_filter,
         "q52_shuffle_rank": _q52_shuffle_rank,
+        "q53_shard_by_budget": _q53_shard_by_budget,
     }
 
 
@@ -1774,5 +1799,38 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "q53_shard_by_budget": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> len(x) > 0)) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            rk AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (
+                           ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
+                                    doc_id) - 1 AS r
+                FROM tk
+            ),
+            cs AS (
+                SELECT doc_id, n_tokens, r,
+                       sum(n_tokens) OVER (ORDER BY r
+                                           ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS strt,
+                       ceil(sum(n_tokens) OVER ()::DOUBLE / 8) AS shard_size
+                FROM rk
+            ),
+            sh AS (
+                SELECT doc_id, n_tokens, r,
+                       least(floor(strt / shard_size), 7) AS shard
+                FROM cs
+            )
+            SELECT doc_id, n_tokens, CAST(shard AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY r) - 1
+                        AS BIGINT) AS pos
+            FROM sh
         """,
     }

@@ -38,4 +38,5 @@ from record_matching_spark.functions.sampling import (  # noqa: F401
     mixture_report,
     temperature_sample,
     global_shuffle_rank,
+    shard_by_budget,
 )

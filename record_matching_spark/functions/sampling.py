@@ -189,6 +189,49 @@ def temperature_sample(
     )
 
 
+def _two_level_prefix(
+    df: DataFrame, sort_cols: list[str], val_col: str, partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Global ordered running sum without a global window — the shared
+    scale shape under pack_sequences / global_shuffle_rank /
+    shard_by_budget: range-repartition on the sort key (Spark's
+    RangePartitioner assigns ascending key ranges to ascending partition
+    ids), a per-partition running sum (P concurrent windows, no exchange
+    to a single task), then the P per-partition totals come to the driver
+    for a prefix sum broadcast back (the documented bounded exception —
+    P longs). Returns (df + `_end` = inclusive global running sum of
+    val_col in sort_cols order, grand total)."""
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = ranged.withColumn(
+        "_local_end", F.sum(val_col).over(w)
+    ).localCheckpoint(eager=False)
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_t")).collect()
+    )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid, tot in totals:
+        prefix[pid] = acc
+        acc += tot or 0
+    pre_df = spark.createDataFrame(
+        [(p, o) for p, o in prefix.items()], "_pid int, _prefix long"
+    )
+    out = (
+        local.join(F.broadcast(pre_df), "_pid")
+        .withColumn("_end", F.col("_prefix") + F.col("_local_end"))
+        .drop("_pid", "_local_end", "_prefix")
+    )
+    return out, acc
+
+
 def global_shuffle_rank(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,45 +246,68 @@ def global_shuffle_rank(
     re-dealable by changing `seed` (epoch reshuffles: seed='epoch1', …).
 
     Scale shape — a global row_number() is ONE window over ONE partition,
-    a non-starter at 100 TB. This reuses pack_sequences' two-level scan:
-    range-repartition on the hash (RangePartitioner gives ascending hash
-    ranges ascending partition ids), per-partition row_number (P
-    concurrent windows), then the P partition counts come to the driver
-    for a prefix sum broadcast back (the documented bounded exception —
-    P longs). Ties (hash collisions) break by id, so the permutation is
-    total and engine-independent. portable=True hashes via md5 (DuckDB
-    oracle q52); default xxhash64. Output: (id_col, shuffle_rank)."""
-    spark = df.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
+    a non-starter at 100 TB. This is `_two_level_prefix` over a constant
+    1 (a running count), ordered by the hash. Ties (hash collisions)
+    break by id, so the permutation is total and engine-independent.
+    portable=True hashes via md5 (DuckDB oracle q52); default xxhash64.
+    Output: (id_col, shuffle_rank)."""
     if portable:
         h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
     else:
         h = F.xxhash64(F.lit(seed), F.col(id_col))
-    ranged = (
-        df.select(F.col(id_col), h.alias("_h"))
-        .repartitionByRange(n_part, F.col("_h"), F.col(id_col))
-        .sortWithinPartitions("_h", id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    keyed = df.select(
+        F.col(id_col), h.alias("_h"), F.lit(1).cast("long").alias("_one")
     )
-    w = Window.partitionBy("_pid").orderBy("_h", id_col)
-    local = ranged.withColumn(
-        "_rn", F.row_number().over(w)
-    ).localCheckpoint(eager=False)
-    totals = sorted(
-        (r["_pid"], r["_n"])
-        for r in local.groupBy("_pid").agg(F.max("_rn").alias("_n")).collect()
+    summed, _ = _two_level_prefix(keyed, ["_h", id_col], "_one", partitions)
+    return summed.select(
+        F.col(id_col), (F.col("_end") - 1).cast("long").alias("shuffle_rank")
     )
-    prefix: dict[int, int] = {}
-    acc = 0
-    for pid, cnt in totals:
-        prefix[pid] = acc
-        acc += cnt or 0
-    pre_df = df.sparkSession.createDataFrame(
-        [(p, o) for p, o in prefix.items()], "_pid int, _prefix long"
-    )
-    return local.join(F.broadcast(pre_df), "_pid").select(
+
+
+def shard_by_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_shards: int = 16,
+    order_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-balanced shard assignment — the training-data LAYOUT
+    finisher: whole documents dealt into `n_shards` shards of ~equal
+    token mass (ceil(total/n) budget per shard, docs never split), in
+    `order_col` order (pass a shuffle_rank column for the
+    shuffle-then-shard composition a data loader reads) or id order.
+    Each doc lands in the shard where its start offset falls; the last
+    shards absorb the rounding remainder.
+
+    Scale shape: one `_two_level_prefix` scan (range partition →
+    per-partition window → P-row driver prefix) — never a global
+    single-partition window; the per-shard position window sorts one
+    shard per task, and shards are file-sized by construction (a
+    deployment scales n_shards with the corpus). Deterministic: a pure
+    function of the (order, token-count) multiset. Output: (id_col,
+    token_col, shard, pos) with `pos` the doc's 0-based position in
+    shard order — fully SQL-expressible -> DuckDB oracle q53."""
+    order = order_col or id_col
+    keyed = df.select(
         F.col(id_col),
-        (F.col("_prefix") + F.col("_rn") - 1).cast("long").alias("shuffle_rank"),
+        F.col(order).alias("_ord"),
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_nt"),
+    )
+    w_cols = ["_ord", id_col]
+    summed, total = _two_level_prefix(keyed, w_cols, "_nt", partitions)
+    shard_size = max(1, -(-total // n_shards))  # ceil
+    start = F.col("_end") - F.col("_nt")
+    with_shard = summed.withColumn(
+        "shard",
+        F.least(F.floor(start / shard_size), F.lit(n_shards - 1)).cast("int"),
+    )
+    pos_w = Window.partitionBy("shard").orderBy(*w_cols)
+    return with_shard.select(
+        F.col(id_col),
+        F.col("_nt").alias(token_col),
+        "shard",
+        (F.row_number().over(pos_w) - 1).cast("long").alias("pos"),
     )
 
 
@@ -265,50 +331,25 @@ def pack_sequences(
     the layout is reproducible at any parallelism.
 
     Scale shape — the naive form is a global ordered cumsum, i.e. ONE
-    window over ONE partition, a non-starter at 100 TB. This runs the
-    textbook two-level scan instead: range-repartition by id (Spark's
-    RangePartitioner assigns ascending key ranges to ascending partition
-    ids), a per-partition running sum (window keyed by partition id — P
-    concurrent windows, no global exchange to a single task), then the
-    per-partition totals (P rows, ~one per task) come to the driver for a
-    prefix sum and broadcast back. The only driver-side data is P longs —
-    a documented bounded exception like duplicate_key_bitmap's.
+    window over ONE partition, a non-starter at 100 TB. This runs
+    `_two_level_prefix` (the textbook two-level scan: range partition →
+    per-partition window → P-row driver prefix broadcast back; the only
+    driver-side data is P longs — a documented bounded exception like
+    duplicate_key_bitmap's).
 
     The reference has no packing; nearest analog is the batched pair
     iterator it feeds its scorer (/root/reference/record_matching/
     main.py:552-577). SQL-oracle-able (global cumsum is trivial at
     verification scale) -> q44."""
-    spark = df.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.select(
-            id_col,
-            F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_nt"),
-        )
-        .repartitionByRange(n_part, F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    keyed = df.select(
+        id_col,
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_nt"),
     )
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    local = ranged.withColumn(
-        "_local_end", F.sum("_nt").over(w)
-    ).localCheckpoint(eager=False)
-    totals = sorted(
-        (r["_pid"], r["_t"])
-        for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_t")).collect()
-    )
-    prefix: dict[int, int] = {}
-    acc = 0
-    for pid, tot in totals:
-        prefix[pid] = acc
-        acc += tot or 0
-    pre_df = spark.createDataFrame(
-        [(p, o) for p, o in prefix.items()], "_pid int, _prefix long"
-    )
-    start = F.col("_prefix") + F.col("_local_end") - F.col("_nt")
+    summed, _ = _two_level_prefix(keyed, [id_col], "_nt", partitions)
+    start = F.col("_end") - F.col("_nt")
     end = start + F.greatest(F.col("_nt"), F.lit(1)) - 1
     return (
-        local.join(F.broadcast(pre_df), "_pid")
+        summed
         .select(
             F.col(id_col),
             F.col("_nt").alias(token_col),

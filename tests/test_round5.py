@@ -854,3 +854,60 @@ def test_global_shuffle_rank_permutation(spark):
         ).collect()
     }
     assert p1 == p2 and sorted(p1.values()) == list(range(500))
+
+
+def test_shard_by_budget_balance(spark):
+    """Whole docs deal into token-balanced shards: every shard's token
+    mass stays within one max-doc of the budget, docs never split, order
+    within shards follows the given order column, and the assignment is
+    identical across partition counts."""
+    from record_matching_spark.functions.sampling import shard_by_budget
+
+    rows = [(i, (i * 37 % 90) + 10) for i in range(400)]  # 10..99 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = shard_by_budget(df, n_shards=8, partitions=16).collect()
+    assert len(out) == 400
+    total = sum(t for _, t in rows)
+    budget = -(-total // 8)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    max_doc = max(t for _, t in rows)
+    for s, docs in by_shard.items():
+        mass = sum(r["n_tokens"] for r in docs)
+        if s < 7:
+            # a doc straddling the boundary stays in its start shard
+            assert budget - max_doc <= mass < budget + max_doc, (s, mass)
+        # positions are dense 0..len-1 in id (order_col default) order
+        docs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in docs] == list(range(len(docs)))
+        assert [r["doc_id"] for r in docs] == sorted(r["doc_id"] for r in docs)
+    # layout invariance
+    out1 = sorted(map(tuple, shard_by_budget(
+        df.repartition(3), n_shards=8, partitions=2
+    ).collect()))
+    assert out1 == sorted(map(tuple, out))
+
+
+def test_new_query_plan_shapes(spark):
+    """Plan audits of the round-5 training-pipeline queries: the scale
+    claims in the docstrings must be visible in the physical plan —
+    q47's corpus-side scan joins the probe grams via BROADCAST (zero
+    corpus-sized exchanges on the probe side), q46's vocab attach is a
+    broadcast join, and no row-at-a-time Python anywhere."""
+    import __spark_entry__ as entry
+    from record_matching_spark.plans.audit import plan_audit
+
+    sf = "/root/testdata/sf0.001"
+    q47 = plan_audit(entry.queries()["q47_ngram_decontaminate"](spark, sf))
+    assert q47["broadcast_joins"] >= 1
+    assert q47["rowwise_python_nodes"] == 0
+    q46 = plan_audit(entry.queries()["q46_unigram_logprob"](spark, sf))
+    assert q46["broadcast_joins"] >= 1  # the vocab attach
+    assert q46["rowwise_python_nodes"] == 0
+    q51 = plan_audit(entry.queries()["q51_quality_filter"](spark, sf))
+    assert q51["rowwise_python_nodes"] == 0 and q51["arrow_udf_nodes"] == 0
+    q49 = plan_audit(entry.queries()["q49_temperature_sample"](spark, sf))
+    assert q49["broadcast_joins"] >= 1  # the per-group threshold attach
+    assert q49["rowwise_python_nodes"] == 0
