@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (49 of 53, including
+from SURVEY.md §2, DuckDB-oracled where expressible (50 of 54, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -19,8 +19,8 @@ chain replayed on DuckDB's RE2; q46-q53 round out the training-data
 family: unigram-LM quality scoring, exact n-gram decontamination,
 mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
-deterministic global shuffle rank, and token-balanced shard layout —
-each replayed exactly in SQL).
+deterministic global shuffle rank, token-balanced shard layout, and
+BPE-pretokenizer token counting — each replayed exactly in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -699,6 +699,21 @@ def _q53_shard_by_budget(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q54_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: BPE-pretokenizer token count (GPT-2 pretokenize rule
+    in the RE2-safe subset) next to the whitespace count — the cheap
+    token-budget estimator; one map-only Catalyst scan, oracled against
+    DuckDB's RE2 applying the identical pattern."""
+    from record_matching_spark.functions.text import token_count, token_count_bpe
+
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -860,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_quality_filter": _q51_quality_filter,
         "q52_shuffle_rank": _q52_shuffle_rank,
         "q53_shard_by_budget": _q53_shard_by_budget,
+        "q54_bpe_token_count": _q54_bpe_token_count,
     }
 
 
@@ -1798,6 +1814,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
+        "q54_bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> len(x) > 0)) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+                        )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "q53_shard_by_budget": r"""

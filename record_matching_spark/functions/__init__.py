@@ -2,6 +2,7 @@ from record_matching_spark.functions.text import (  # noqa: F401
     language_id,
     quality_score,
     token_count,
+    token_count_bpe,
     doc_fingerprint,
     winnow_fingerprints,
     winnow_overlap_pairs,

@@ -37,6 +37,30 @@ def _count_pattern(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
 
 
+# GPT-2-style pretokenizer, restricted to the Java-regex/RE2-agreeing
+# subset (no lookahead — the original's `\s+(?!\S)` whitespace split is
+# dropped, so trailing whitespace folds into one token; contraction
+# suffixes, letter runs, digit runs, punct runs with their leading-space
+# convention are intact). Token COUNTS from this pattern track BPE
+# pretokenization far better than whitespace counts on code/punctuated
+# text — the cheap n_tokens estimator a token-budget pipeline runs before
+# it can afford a real tokenizer pass.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-pretokenizer token count (long): matches of
+    BPE_PRETOKEN_PATTERN, the GPT-2 pretokenize rule in the RE2-safe
+    subset — pure Catalyst, SQL-oracle-able (q54). Counts only; the
+    pieces themselves come from the same regexp_extract_all if a caller
+    wants them."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ).cast("long")
+
+
 def quality_score(col: Column) -> Column:
     """Deterministic doc-quality heuristic in [0,1]:
     0.4·stopword-ratio-score + 0.3·alpha-ratio + 0.3·length-score.

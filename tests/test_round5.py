@@ -911,3 +911,42 @@ def test_new_query_plan_shapes(spark):
     q49 = plan_audit(entry.queries()["q49_temperature_sample"](spark, sf))
     assert q49["broadcast_joins"] >= 1  # the per-group threshold attach
     assert q49["rowwise_python_nodes"] == 0
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The Catalyst count must equal Python's re over the same pattern on
+    punctuation/contraction/code-heavy text (the branches the prose-only
+    parquet corpus never exercises), and exceed the whitespace count
+    there."""
+    import re as _re
+
+    from record_matching_spark.functions.text import (
+        BPE_PRETOKEN_PATTERN, token_count, token_count_bpe,
+    )
+
+    texts = [
+        "don't can't it's we're I'll you've he'd",
+        "x = f(a, b) + 3.14 * arr[i]; // trailing comment",
+        "word",
+        "",
+        "   ",
+        "a1b2c3 été mixed99units",
+        "!!!??? ... --- ###",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            token_count_bpe(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    pat = _re.compile(BPE_PRETOKEN_PATTERN)
+    for i, t in enumerate(texts):
+        assert out[i][1] == len(pat.findall(t)), (i, t)
+    # code/punct text splits far finer than whitespace
+    assert out[1][1] > out[1][0]
+    assert out[0][1] == 2 * 7  # each contraction = word piece + suffix piece
