@@ -950,3 +950,22 @@ def test_bpe_token_count_matches_python_re(spark):
     # code/punct text splits far finer than whitespace
     assert out[1][1] > out[1][0]
     assert out[0][1] == 2 * 7  # each contraction = word piece + suffix piece
+
+
+def test_two_level_prefix_matches_sequential(spark):
+    """The shared two-level prefix-sum helper must equal the sequential
+    cumsum for random values (zeros, big longs, single row) at several
+    partition counts, with the grand total agreeing."""
+    from record_matching_spark.functions.sampling import _two_level_prefix
+
+    rng = np.random.RandomState(7)
+    for n, parts in [(1, 4), (17, 1), (400, 16), (1000, 3)]:
+        vals = rng.randint(0, 1000, size=n)
+        vals[rng.rand(n) < 0.2] = 0
+        rows = [(int(i), int(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+        out, total = _two_level_prefix(df, ["k"], "v", parts)
+        got = {r["k"]: r["_end"] for r in out.collect()}
+        exp = np.cumsum(vals)
+        assert total == int(exp[-1])
+        assert got == {i: int(exp[i]) for i in range(n)}
