@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (50 of 54, including
+from SURVEY.md §2, DuckDB-oracled where expressible (51 of 55, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -19,8 +19,9 @@ chain replayed on DuckDB's RE2; q46-q53 round out the training-data
 family: unigram-LM quality scoring, exact n-gram decontamination,
 mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
-deterministic global shuffle rank, token-balanced shard layout, and
-BPE-pretokenizer token counting — each replayed exactly in SQL).
+deterministic global shuffle rank, token-balanced shard layout,
+BPE-pretokenizer token counting, and incremental-ingest dedup against a
+persisted index — each replayed exactly in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -714,6 +715,24 @@ def _q54_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q55_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: incremental-ingest dedup — a NEW shard (the
+    non-src0-2 docs) checked against a PREBUILT near-dup index of history
+    (src0-2; build_near_dup_index — the band-once/reuse-forever
+    contract), plus the within-shard keep-first rule. history_dup beats
+    shard_dup; every new doc appears with (kept, reason). Oracle =
+    brute-force cross + within Jaccard at the same threshold."""
+    from record_matching_spark.functions.dedup import (
+        build_near_dup_index, incremental_dedup,
+    )
+
+    d = _read(spark, sf, "documents")
+    history = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    new = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    bands, feats = build_near_dup_index(history)
+    return incremental_dedup(new, bands, feats, threshold=0.9)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -876,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_shuffle_rank": _q52_shuffle_rank,
         "q53_shard_by_budget": _q53_shard_by_budget,
         "q54_bpe_token_count": _q54_bpe_token_count,
+        "q55_incremental_dedup": _q55_incremental_dedup,
     }
 
 
@@ -1815,6 +1835,38 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "q55_incremental_dedup": f"""
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, text, source,
+                       list_sort(list_distinct({_TOKS})) AS toks
+                FROM documents),
+            n AS MATERIALIZED (SELECT * FROM t
+                 WHERE source NOT IN ('src0', 'src1', 'src2')),
+            h AS (SELECT * FROM t WHERE source IN ('src0', 'src1', 'src2')),
+            hist AS (
+                SELECT DISTINCT n.doc_id FROM n, h
+                WHERE CASE WHEN len(list_distinct(list_concat(n.toks, h.toks))) = 0
+                           THEN (CASE WHEN n.text = h.text THEN 1.0 ELSE 0.0 END)
+                           ELSE len(list_intersect(n.toks, h.toks))::DOUBLE
+                                / len(list_distinct(list_concat(n.toks, h.toks)))
+                      END >= 0.9
+            ),
+            shard AS (
+                SELECT DISTINCT b.doc_id FROM n a JOIN n b
+                ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                           THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
+                           ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                                / len(list_distinct(list_concat(a.toks, b.toks)))
+                      END >= 0.9
+            )
+            SELECT n.doc_id,
+                   CASE WHEN hist.doc_id IS NOT NULL THEN 'history_dup'
+                        WHEN shard.doc_id IS NOT NULL THEN 'shard_dup'
+                        ELSE 'kept' END AS reason,
+                   (hist.doc_id IS NULL AND shard.doc_id IS NULL) AS kept
+            FROM n LEFT JOIN hist USING (doc_id) LEFT JOIN shard USING (doc_id)
         """,
         "q54_bpe_token_count": r"""
             SELECT doc_id,

@@ -21,6 +21,9 @@ from record_matching_spark.functions.dedup import (  # noqa: F401
     dedup_lines,
     ngram_decontaminate,
     near_dedup_keep_min,
+    build_near_dup_index,
+    near_dup_pairs_against_index,
+    incremental_dedup,
 )
 from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,

@@ -293,6 +293,146 @@ def _cc_feats(
     )
 
 
+def build_near_dup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable near-dup INDEX of a corpus — the incremental-ingestion
+    contract: band the historical corpus ONCE, write both tables to
+    parquet, and every future shard checks against the stored index
+    instead of re-banding 100 TB of history per ingest.
+
+    Returns (bands, feats): bands = (corpus_id, block_key) — LSH band
+    keys + the content-sha always-candidate key; feats = (corpus_id,
+    _ta sorted distinct token hashes, _sha_a, _na) — the exact-verify
+    payload. Plain flat-schema DataFrames, round-trippable through any
+    sink (test_round5 pins parquet roundtrip → identical pairs).
+    Parameters must match at query time (the index is only valid for the
+    banding scheme that built it)."""
+    bands = _cc_bands(
+        df, id_col, text_col, num_hashes, num_bands, rows_per_band, shingle_k
+    ).withColumnRenamed("_id", "corpus_id")
+    feats = _cc_feats(df, id_col, text_col, "corpus_id", "a", shingle_k)
+    return bands, feats
+
+
+def near_dup_pairs_against_index(
+    index_bands: DataFrame,
+    index_feats: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """cross_corpus_near_dup_pairs against a PREBUILT index (see
+    build_near_dup_index): the probe shard's bands+features broadcast,
+    the stored index crosses two map-only scans — the shape of a daily
+    ingest against a 100-TB history. Banding parameters must equal the
+    index's. Output: (corpus_id, probe_id, jaccard)."""
+    pb = _cc_bands(
+        probe, id_col, text_col, num_hashes, num_bands, rows_per_band, shingle_k
+    ).withColumnRenamed("_id", "probe_id")
+    pf = _cc_feats(probe, id_col, text_col, "probe_id", "b", shingle_k)
+    if broadcast_probe:
+        pb, pf = F.broadcast(pb), F.broadcast(pf)
+    cand = (
+        index_bands.join(pb, "block_key")
+        .select("corpus_id", "probe_id")
+        .distinct()
+    )
+    union_sz = F.size(F.array_union("_ta", "_tb"))
+    empty_case = F.when(
+        F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    size_ok = (
+        F.least("_na", "_nb").cast("double")
+        / F.greatest("_na", "_nb", F.lit(1))
+        >= F.lit(threshold - 1e-9)
+    ) | ((F.col("_na") == 0) & (F.col("_nb") == 0))
+    return (
+        cand.join(index_feats, "corpus_id")
+        .join(pf, "probe_id")
+        .filter(size_ok)
+        .withColumn(
+            "jaccard",
+            F.when(union_sz == 0, empty_case).otherwise(
+                F.size(F.array_intersect("_ta", "_tb")).cast("double")
+                / union_sz
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "probe_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    index_feats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup of a NEW shard: drop a new doc if it is a
+    near-dup of the historical index (reason 'history_dup', checked
+    first) or of any lower-id doc within the shard itself (reason
+    'shard_dup' — the deterministic keep-first rule: lower id wins
+    regardless of that doc's own verdict, so the decision is a pure
+    function of the pair set, no sequential scan). Every new doc appears
+    in the output with (kept, reason).
+
+    Scale shape: history crosses two map-only scans against the
+    broadcast shard (near_dup_pairs_against_index); the within-shard
+    pass is minhash_near_dup_pairs on the (small) shard. Fully
+    SQL-expressible -> DuckDB oracle q55."""
+    hist = (
+        near_dup_pairs_against_index(
+            index_bands, index_feats, new_df, text_col, id_col, threshold,
+            num_hashes, num_bands, rows_per_band, shingle_k,
+        )
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+        .withColumn("_hist", F.lit(True))
+    )
+    within = (
+        minhash_near_dup_pairs(
+            new_df, text_col=text_col, id_col=id_col, threshold=threshold,
+            num_hashes=num_hashes, num_bands=num_bands,
+            rows_per_band=rows_per_band, shingle_k=shingle_k,
+        )
+        .select(F.col("right").alias(id_col))
+        .distinct()
+        .withColumn("_shard", F.lit(True))
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(hist, id_col, "left")
+        .join(within, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_hist"), "history_dup")
+            .when(F.col("_shard"), "shard_dup")
+            .otherwise("kept")
+            .alias("reason"),
+            (F.col("_hist").isNull() & F.col("_shard").isNull()).alias("kept"),
+        )
+    )
+
+
 def cross_corpus_near_dup_pairs(
     corpus: DataFrame,
     probe: DataFrame,

@@ -969,3 +969,118 @@ def test_two_level_prefix_matches_sequential(spark):
         exp = np.cumsum(vals)
         assert total == int(exp[-1])
         assert got == {i: int(exp[i]) for i in range(n)}
+
+
+def test_near_dup_index_parquet_roundtrip(spark, tmp_path):
+    """The incremental-ingest contract: an index built once, written to
+    parquet, and read back must yield byte-identical pair sets to the
+    direct (recompute-history) path."""
+    from record_matching_spark.functions.dedup import (
+        build_near_dup_index, cross_corpus_near_dup_pairs,
+        near_dup_pairs_against_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame(
+        [(i, base if i % 3 == 0 else f"hist doc {i} with words {i * 7}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, "entirely novel content never seen before"),
+         (102, base + " kappa")],
+        "doc_id long, text string",
+    )
+    bands, feats = build_near_dup_index(hist)
+    bands.write.parquet(str(tmp_path / "bands"))
+    feats.write.parquet(str(tmp_path / "feats"))
+    from_disk = near_dup_pairs_against_index(
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "feats")),
+        new, threshold=0.9,
+    )
+    direct = cross_corpus_near_dup_pairs(hist, new, threshold=0.9)
+    a = sorted(map(tuple, from_disk.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
+    # every exact copy of the duplicated base doc was caught
+    assert {p for _, p, _ in a} >= {100, 102}
+
+
+def test_incremental_dedup_verdicts(spark):
+    """history_dup beats shard_dup; keep-first within the shard is by
+    lower id regardless of that doc's own verdict; novel docs are kept."""
+    from record_matching_spark.functions.dedup import (
+        build_near_dup_index, incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # hist dup
+            (11, "one two three four five six seven eight nine ten"),   # kept
+            (12, "one two three four five six seven eight nine ten"),   # shard dup of 11
+            (13, "the quick brown fox jumps over the lazy dog today"),  # hist dup (also shard dup of 10 — history wins)
+            (14, "completely fresh words appearing nowhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bands, feats = build_near_dup_index(hist)
+    out = {
+        r["doc_id"]: (r["reason"], r["kept"])
+        for r in incremental_dedup(new, bands, feats, threshold=0.9).collect()
+    }
+    assert out[10] == ("history_dup", False)
+    assert out[11] == ("kept", True)
+    assert out[12] == ("shard_dup", False)
+    assert out[13] == ("history_dup", False)
+    assert out[14] == ("kept", True)
+    assert len(out) == 5
+
+
+def test_streaming_stateless_text_ops_parity(spark, tmp_path):
+    """The map-only text operators (PII scrub, quality-filter rule chain)
+    are stateless Catalyst expressions, so they run UNCHANGED under
+    Structured Streaming: streaming output over micro-batched input must
+    equal the batch run row-for-row."""
+    from record_matching_spark.functions.text import quality_filter, scrub_pii
+    from record_matching_spark.streaming.ops import run_stream_to_parquet
+
+    src = tmp_path / "st_in"
+    dst1 = tmp_path / "st_pii"
+    ck1 = tmp_path / "st_pii_ck"
+    dst2 = tmp_path / "st_qf"
+    ck2 = tmp_path / "st_qf_ck"
+    schema = "doc_id long, text string"
+
+    rows_b1 = [
+        (1, "mail me at a@b.co or call 555-123-4567 the end"),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),
+    ]
+    rows_b2 = [
+        (3, "9" * 150),
+        (4, "server 10.0.0.7 is the one that matters most here today"),
+    ]
+    spark.createDataFrame(rows_b1, schema).write.parquet(str(src), mode="append")
+    spark.createDataFrame(rows_b2, schema).write.parquet(str(src), mode="append")
+    batch_df = spark.read.schema(schema).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_parquet(scrub_pii(stream), str(dst1), str(ck1))
+    got_pii = sorted(map(tuple, spark.read.parquet(str(dst1)).collect()))
+    exp_pii = sorted(map(tuple, scrub_pii(batch_df).collect()))
+    assert got_pii == exp_pii and len(got_pii) == 4
+
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    qf_kwargs = dict(min_chars=20, min_quality=0.3)
+    run_stream_to_parquet(
+        quality_filter(stream2, **qf_kwargs), str(dst2), str(ck2)
+    )
+    got_qf = sorted(map(tuple, spark.read.parquet(str(dst2)).collect()))
+    exp_qf = sorted(map(tuple, quality_filter(batch_df, **qf_kwargs).collect()))
+    assert got_qf == exp_qf and len(got_qf) == 4
+    verdicts = {d: v for d, v, _ in got_qf}
+    assert verdicts[3] == "low_quality" and verdicts[2] == "pass"
