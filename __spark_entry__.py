@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (51 of 55, including
+from SURVEY.md §2, DuckDB-oracled where expressible (52 of 56, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -20,8 +20,9 @@ family: unigram-LM quality scoring, exact n-gram decontamination,
 mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
 deterministic global shuffle rank, token-balanced shard layout,
-BPE-pretokenizer token counting, and incremental-ingest dedup against a
-persisted index — each replayed exactly in SQL).
+BPE-pretokenizer token counting, incremental-ingest dedup against a
+persisted index, and bigram-LM fluency scoring — each replayed exactly
+in SQL).
 Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
 decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
 synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
@@ -733,6 +734,20 @@ def _q55_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_dedup(new, bands, feats, threshold=0.9)
 
 
+def _q56_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: corpus-self-trained bigram-LM fluency score —
+    mean −ln of the add-1-smoothed p(w2|w1) over each doc's bigrams (one
+    rung above q46's unigram signal); model tables re-aggregated from the
+    per-(doc,bigram) counts and broadcast."""
+    from record_matching_spark.functions.text import bigram_logprob
+
+    d = _read(spark, sf, "documents")
+    r = bigram_logprob(d, text_col="text", id_col="doc_id", add_k=1.0)
+    return r.select(
+        "doc_id", "n_bigrams", F.round("neg_logprob", 6).alias("neg_logprob")
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -896,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_shard_by_budget": _q53_shard_by_budget,
         "q54_bpe_token_count": _q54_bpe_token_count,
         "q55_incremental_dedup": _q55_incremental_dedup,
+        "q56_bigram_logprob": _q56_bigram_logprob,
     }
 
 
@@ -1835,6 +1851,37 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "q56_bigram_logprob": r"""
+            WITH tk AS (
+                SELECT doc_id, list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+                FROM tk,
+                     unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+            ),
+            dc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+            bgc AS (SELECT bg, sum(c) AS c_bg FROM dc GROUP BY bg),
+            ugc AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+                    FROM bgc GROUP BY w1),
+            v AS (SELECT count(*)::DOUBLE AS vs FROM ugc),
+            model AS (
+                SELECT bg, (c_bg + 1.0) / (c_w1 + vs) AS p
+                FROM bgc JOIN ugc ON split_part(bg, ' ', 1) = ugc.w1, v
+            ),
+            s AS (
+                SELECT doc_id, sum(c) AS nb,
+                       sum(c * -ln(p)) / sum(c) AS nlp
+                FROM dc JOIN model USING (bg) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+                   round(coalesce(s.nlp, 0.0), 6) AS neg_logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "q55_incremental_dedup": f"""
             WITH t AS MATERIALIZED (

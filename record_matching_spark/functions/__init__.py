@@ -9,6 +9,7 @@ from record_matching_spark.functions.text import (  # noqa: F401
     winnow_span_pairs,
     repetition_features,
     unigram_logprob,
+    bigram_logprob,
     quality_filter,
 )
 from record_matching_spark.functions.dedup import (  # noqa: F401

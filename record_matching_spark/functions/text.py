@@ -914,6 +914,84 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Corpus-self-trained BIGRAM language-model score per document: mean
+    negative log of the add-k-smoothed conditional p(w2|w1) =
+    (c(w1 w2) + k) / (c(w1) + k·V) over the doc's bigrams — the
+    perplexity-style fluency signal one rung above unigram_logprob
+    (repetitive/templated text scores LOW, shuffled-word noise scores
+    HIGH even when its unigrams look fine). No external model, per the
+    north rule.
+
+    Scale shape mirrors unigram_logprob: the exploded bigram stream
+    collapses to per-(doc, bigram) counts first; the bigram and unigram
+    count tables (Zipf-small) re-aggregate from those and broadcast when
+    `broadcast_model`; V (distinct unigrams) and nothing else comes to
+    the driver. No UDFs; fully SQL-expressible -> DuckDB oracle q56.
+
+    Output: (id_col, n_bigrams, neg_logprob double); docs with < 2
+    tokens get 0.0."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bg = (
+        df.select(F.col(id_col), F.explode(grams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_counts = doc_bg.groupBy("bg").agg(F.sum("c").alias("c_bg"))
+    # unigram CONTEXT counts: occurrences of w1 as a bigram left side ==
+    # token occurrences except each doc's last token; derive from the
+    # bigram table itself so the two marginals are exactly consistent
+    ug_counts = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c_bg"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab_size = int(ug_counts.count())
+    bgm = bg_counts.withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).join(ug_counts, "w1")
+    model = bgm.select(
+        "bg",
+        (
+            (F.col("c_bg") + F.lit(float(add_k)))
+            / (F.col("c_w1") + F.lit(float(add_k) * vocab_size))
+        ).alias("p"),
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    scored = (
+        doc_bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (F.sum(F.col("c") * -F.log("p")) / F.sum("c")).alias("neg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("neg_logprob", F.lit(0.0)).alias("neg_logprob"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1084,3 +1084,38 @@ def test_streaming_stateless_text_ops_parity(spark, tmp_path):
     assert got_qf == exp_qf and len(got_qf) == 4
     verdicts = {d: v for d, v, _ in got_qf}
     assert verdicts[3] == "low_quality" and verdicts[2] == "pass"
+
+
+def test_bigram_logprob_hand_example(spark):
+    """Exact value on a hand-computable corpus; repeated in-distribution
+    bigrams score lower than a shuffled-word doc whose unigrams are
+    identical (the signal unigram_logprob cannot see)."""
+    import math
+
+    from record_matching_spark.functions.text import bigram_logprob
+
+    rows = [
+        (1, "a b a b"),      # bigrams: 'a b' x2, 'b a' x1
+        (2, "b b a a"),      # same unigrams, different bigrams
+        (3, "x"),            # < 2 tokens
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string"), add_k=1.0
+        ).collect()
+    }
+    # corpus bigram counts: 'a b':2, 'b a':2, 'b b':1, 'a a':1
+    # context counts (from bigram table): w1=a -> 3, w1=b -> 3; V = 2
+    p_ab = (2 + 1) / (3 + 2)
+    p_ba = (2 + 1) / (3 + 2)
+    p_bb = (1 + 1) / (3 + 2)
+    p_aa = (1 + 1) / (3 + 2)
+    exp1 = (2 * -math.log(p_ab) + -math.log(p_ba)) / 3
+    exp2 = (-math.log(p_bb) + -math.log(p_ba) + -math.log(p_aa)) / 3
+    assert abs(out[1]["neg_logprob"] - exp1) < 1e-12
+    assert abs(out[2]["neg_logprob"] - exp2) < 1e-12
+    assert out[1]["neg_logprob"] < out[2]["neg_logprob"]
+    assert out[3] == (3, 0, 0.0) or (
+        out[3]["n_bigrams"] == 0 and out[3]["neg_logprob"] == 0.0
+    )
