@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (52 of 56, including
+from SURVEY.md §2, DuckDB-oracled where expressible (53 of 58, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -21,12 +21,12 @@ mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
 deterministic global shuffle rank, token-balanced shard layout,
 BPE-pretokenizer token counting, incremental-ingest dedup against a
-persisted index, and bigram-LM fluency scoring — each replayed exactly
-in SQL).
-Rows-only by design: q25/q34 approximate ANN (recall-gated), q27 media
-decode (no codecs in DuckDB), q30 the full ER pipeline on an in-flight
-synthetic corpus (golden-SHA pytest gate) — each carried by a pytest
-substitute instead.
+persisted index, bigram-LM fluency scoring, and leakage-safe
+cluster-level splitting — each replayed exactly in SQL).
+Rows-only by design: q25/q34/q58 approximate ANN (recall-gated; q58 is
+IVF-PQ, the memory-compressed path), q27 media decode (no codecs in
+DuckDB), q30 the full ER pipeline on an in-flight synthetic corpus
+(golden-SHA pytest gate) — each carried by a pytest substitute instead.
 """
 
 from __future__ import annotations
@@ -748,6 +748,33 @@ def _q56_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q57_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: leakage-safe train/val/test split — whole
+    near-dup clusters (q50's minhash+CC machinery) assigned via the
+    portable md5 hash_split on the cluster id, so no near-dup pair
+    straddles a split. Oracle = recursive-CTE closure + the q32 md5
+    bucket on the cluster min."""
+    from record_matching_spark.functions.sampling import leakage_safe_split
+
+    d = _read(spark, sf, "documents")
+    return leakage_safe_split(
+        d, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        threshold=0.9, portable=True,
+    )
+
+
+def _q58_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity search: IVF-PQ approximate top-k (coarse cells prune
+    pairs, product-quantized codes compress the scoring join to m bytes
+    per vector, ADC einsum scoring, exact re-rank of the shortlist) —
+    approximate by construction, rows-only like q25/q34; recall-gated in
+    pytest (test_round5::test_ivfpq_recall_gate)."""
+    from record_matching_spark.functions.similarity import ivfpq_cosine_topk
+
+    e = _read(spark, sf, "embeddings")
+    return ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=8, m=8, nbits=8)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -912,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_bpe_token_count": _q54_bpe_token_count,
         "q55_incremental_dedup": _q55_incremental_dedup,
         "q56_bigram_logprob": _q56_bigram_logprob,
+        "q57_leakage_safe_split": _q57_leakage_safe_split,
+        "q58_ivfpq_topk": _q58_ivfpq_topk,
     }
 
 
@@ -1851,6 +1880,37 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "q57_leakage_safe_split": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id, text,
+                         list_sort(list_distinct({_TOKS})) AS toks
+                  FROM documents),
+            p AS MATERIALIZED (
+                SELECT a.doc_id AS l, b.doc_id AS r FROM t a JOIN t b
+                ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                           THEN (CASE WHEN a.text = b.text THEN 1.0 ELSE 0.0 END)
+                           ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                                / len(list_distinct(list_concat(a.toks, b.toks)))
+                      END >= 0.9),
+            e AS (SELECT l, r FROM p UNION ALL SELECT r AS l, l AS r FROM p),
+            walk(node, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.node, e.r FROM walk w JOIN e ON e.l = w.reach
+            ),
+            assign AS (SELECT node AS doc_id, min(reach) AS cluster_id
+                       FROM walk GROUP BY node)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 100000 THEN 'test'
+                        WHEN b < 900000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (SELECT doc_id, cluster_id,
+                         ('0x' || substr(md5('split' || '|' ||
+                                             cluster_id::VARCHAR), 1, 8))::UBIGINT
+                         % 1000000 AS b
+                  FROM assign)
         """,
         "q56_bigram_logprob": r"""
             WITH tk AS (

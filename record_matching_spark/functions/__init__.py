@@ -30,6 +30,7 @@ from record_matching_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_tiled,
     ivf_cosine_topk,
+    ivfpq_cosine_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     lsh_cosine_topk,

@@ -94,6 +94,41 @@ def quota_sample(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    seed: str = "split",
+    portable: bool = False,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Eval-hygiene split: hash_split applied to near-dup CLUSTER ids
+    instead of doc ids, so every near-duplicate family lands whole in one
+    split and no near-dup pair ever straddles train/test (the leakage
+    that silently inflates eval scores when splitting by document). The
+    cluster id is the family's min doc id — the split of a singleton doc
+    is therefore EXACTLY hash_split's, and grouping only moves the
+    non-singleton families.
+
+    Scale shape: minhash-LSH verified pairs → distributed CC (the q50
+    machinery) → the same one-column hash threshold as hash_split.
+    Output: (id_col, cluster_id, split); fully SQL-expressible (recursive
+    -CTE closure + md5 bucket on the cluster min) -> DuckDB oracle q57."""
+    from record_matching_spark.functions.dedup import near_dedup_keep_min
+
+    assign = near_dedup_keep_min(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        **minhash_kwargs,
+    ).select(id_col, "cluster_id")
+    split = hash_split(
+        assign, key_col="cluster_id", weights=weights, seed=seed,
+        portable=portable,
+    )
+    return split.select(id_col, "cluster_id", "split")
+
+
 def mixture_report(
     df: DataFrame,
     group_cols: list[str],

@@ -1119,3 +1119,92 @@ def test_bigram_logprob_hand_example(spark):
     assert out[3] == (3, 0, 0.0) or (
         out[3]["n_bigrams"] == 0 and out[3]["neg_logprob"] == 0.0
     )
+
+
+def test_leakage_safe_split_no_straddling(spark):
+    """Every near-dup family lands whole in one split (the leakage
+    guarantee); singleton docs get exactly hash_split's verdict; ratios
+    are roughly honored."""
+    from record_matching_spark.functions.sampling import (
+        hash_split, leakage_safe_split,
+    )
+
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        [(i, fam) for i in range(0, 6)]
+        + [(i, f"solo doc {i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+           for i in range(100, 400)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(df, weights=w, threshold=0.9).collect()
+    assert len(out) == len(rows)
+    # the family is one cluster, one split
+    fam_rows = [r for r in out if r["doc_id"] < 100]
+    assert {r["cluster_id"] for r in fam_rows} == {0}
+    assert len({r["split"] for r in fam_rows}) == 1
+    # singletons match plain hash_split on their own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", w).collect()
+    }
+    for r in out:
+        if r["doc_id"] >= 100:
+            assert r["cluster_id"] == r["doc_id"]
+            assert r["split"] == plain[r["doc_id"]]
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_ivfpq_recall_gate(spark):
+    """IVF-PQ recall vs the exact tiled baseline: >= 0.99 on planted
+    tight clusters (structure PQ exploits), >= 0.85 on the sf0.01
+    embeddings table (near-random vectors, PQ's hardest case — measured
+    0.90 at nbits=8/rerank 8); output is always <= k rows per query with
+    valid ids."""
+    from record_matching_spark.functions.similarity import (
+        cosine_topk_tiled, ivfpq_cosine_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(40, 64))
+    rows = []
+    vid = 0
+    for ci in range(40):
+        for _ in range(8):
+            v = centers[ci] + 0.01 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_tiled(
+            planted, planted, k=3, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_cosine_topk(
+            planted, planted, k=3, n_cells=16, n_probe=8, m=8, nbits=8
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.99
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_tiled(
+            e, e, k=3, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    ap = ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=8, m=8, nbits=8)
+    rows2 = ap.collect()
+    approx2 = {(r["query_id"], r["neighbor_id"]) for r in rows2}
+    assert len(exact2 & approx2) / len(exact2) >= 0.85
+    per_q = {}
+    for r in rows2:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert max(per_q.values()) <= 3
