@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (53 of 58, including
+from SURVEY.md §2, DuckDB-oracled where expressible (54 of 59, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -21,8 +21,9 @@ mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
 deterministic global shuffle rank, token-balanced shard layout,
 BPE-pretokenizer token counting, incremental-ingest dedup against a
-persisted index, bigram-LM fluency scoring, and leakage-safe
-cluster-level splitting — each replayed exactly in SQL).
+persisted index, bigram-LM fluency scoring, leakage-safe cluster-level
+splitting, and URL canonicalization + one-doc-per-URL dedup — each
+replayed exactly in SQL).
 Rows-only by design: q25/q34/q58 approximate ANN (recall-gated; q58 is
 IVF-PQ, the memory-compressed path), q27 media decode (no codecs in
 DuckDB), q30 the full ER pipeline on an in-flight synthetic corpus
@@ -775,6 +776,33 @@ def _q58_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=8, m=8, nbits=8)
 
 
+def _q59_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: URL extraction + canonicalization + C4-style
+    one-doc-per-URL keep-first dedup. The synthetic docs carry no URLs,
+    so three are injected deterministically IN THE QUERY on both sides
+    (mixed-case host, utm params, fragment, trailing punctuation — each
+    normalization rule exercised on every row); DuckDB replays the same
+    ordered regexp chain on RE2."""
+    from record_matching_spark.functions.text import url_dedup
+
+    d = _read(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    with_urls = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit https://Site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.COM/page/"), sid,
+            F.lit("?utm_source=x&ref="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("#frag then http://SHARED.example.com/common?utm_campaign=a"),
+            F.lit(" finally see https://news.example.com/a/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return url_dedup(with_urls)
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -941,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_bigram_logprob": _q56_bigram_logprob,
         "q57_leakage_safe_split": _q57_leakage_safe_split,
         "q58_ivfpq_topk": _q58_ivfpq_topk,
+        "q59_url_dedup": _q59_url_dedup,
     }
 
 
@@ -1880,6 +1909,50 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle' || '|' || doc_id::VARCHAR),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "q59_url_dedup": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' visit https://Site' || (doc_id % 50)::VARCHAR
+                       || '.Example.COM/page/' || doc_id::VARCHAR
+                       || '?utm_source=x&ref=' || (doc_id % 7)::VARCHAR
+                       || '#frag then http://SHARED.example.com/common?utm_campaign=a'
+                       || ' finally see https://news.example.com/a/'
+                       || (doc_id % 10)::VARCHAR || '.' AS t
+                FROM documents
+            ),
+            raw AS (
+                SELECT DISTINCT doc_id, u
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(t,
+                                 'https?://[^\s<>"'']+')) AS u
+                      FROM inj)
+            ),
+            norm AS (
+                SELECT DISTINCT doc_id,
+                       regexp_replace(
+                         lower(regexp_extract(u5, '^(https?://[^/?#]+)', 1))
+                         || regexp_replace(u5, '^https?://[^/?#]+', '', 'g'),
+                         '/$', '') AS url
+                FROM (
+                    SELECT doc_id,
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(u, '[.,;:!?)]+$', ''),
+                                     '#.*$', ''),
+                                   '([?&])utm_[A-Za-z0-9_]+=[^&#]*', '\1', 'g'),
+                                 '\?&', '?', 'g'),
+                               '&&+', '&', 'g'),
+                             '[?&]+$', '') AS u5
+                    FROM raw)
+            )
+            SELECT doc_id, url,
+                   (row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1)
+                       AS kept
+            FROM norm
         """,
         "q57_leakage_safe_split": f"""
             WITH RECURSIVE

@@ -914,6 +914,62 @@ def unigram_logprob(
     )
 
 
+def extract_normalized_urls(col: Column) -> Column:
+    """Array of normalized http(s) URLs found in a text column — the
+    extraction+canonicalization step URL-level dedup and domain filters
+    run on (C4 dedups exactly on normalized URL). Pure Catalyst regexp
+    chain, applied IN ORDER, kept inside the Java-regex/RE2-agreeing
+    subset (the q42/q45 discipline) so DuckDB can replay it:
+
+    1. extract `https?://` runs (no trailing whitespace/quotes/brackets);
+    2. trim trailing sentence punctuation ( .,;:!?) and `)`;
+    3. drop the #fragment;
+    4. drop utm_* tracking params, then tidy the leftover separators
+       (`?&`→`?`, `&&`→`&`, trailing `?`/`&` dropped);
+    5. lowercase the scheme+host (path/query stay case-sensitive);
+    6. drop a trailing `/`."""
+    urls = F.regexp_extract_all(col, F.lit(r"""https?://[^\s<>"']+"""), 0)
+
+    def norm(u: Column) -> Column:
+        u = F.regexp_replace(u, r"[.,;:!?)]+$", "")
+        u = F.regexp_replace(u, r"#.*$", "")
+        u = F.regexp_replace(u, r"([?&])utm_[A-Za-z0-9_]+=[^&#]*", r"$1")
+        u = F.regexp_replace(u, r"\?&", "?")
+        u = F.regexp_replace(u, r"&&+", "&")
+        u = F.regexp_replace(u, r"[?&]+$", "")
+        host = F.lower(F.regexp_extract(u, r"^(https?://[^/?#]+)", 1))
+        rest = F.regexp_replace(u, r"^https?://[^/?#]+", "")
+        u = F.concat(host, rest)
+        return F.regexp_replace(u, r"/$", "")
+
+    return F.transform(urls, norm)
+
+
+def url_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup (the C4 recipe: one document per normalized URL,
+    keep-first by lowest id): extract+normalize every doc's URLs, then
+    per distinct URL the lowest-id doc holding it wins. One exploded
+    distinct + one window keyed on the URL (the shuffle key is the
+    8-byte-hashable URL string — web-scale cardinality but perfectly
+    hash-partitionable). Output: (id_col, url, kept) — one row per
+    distinct (doc, normalized url)."""
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(extract_normalized_urls(F.col(text_col))).alias("url"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("url").orderBy(id_col)
+    return ex.withColumn(
+        "kept", F.row_number().over(w) == 1
+    ).select(id_col, "url", "kept")
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -1208,3 +1208,48 @@ def test_ivfpq_recall_gate(spark):
     for r in rows2:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert max(per_q.values()) <= 3
+
+
+def test_url_extract_normalize_and_dedup(spark):
+    """Each canonicalization rule verified on a hand case (trailing
+    punctuation, fragment, utm params with separator cleanup, host
+    lowercasing with case-sensitive path, trailing slash); keep-first is
+    by lowest doc id per normalized URL."""
+    from record_matching_spark.functions.text import (
+        extract_normalized_urls, url_dedup,
+    )
+
+    rows = [
+        (5, "see https://WWW.Example.COM/Path/To?utm_source=a&x=1&utm_medium=b#frag."),
+        (2, "dup of it: https://www.example.com/Path/To?x=1 plus https://other.example.com/"),
+        (9, "no urls here at all"),
+        (3, "trailing slash http://Host.example.com/dir/ and bare http://host.example.com/dir"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", extract_normalized_urls(F.col("text")).alias("u")
+        ).collect()
+    }
+    assert norm[5] == ["https://www.example.com/Path/To?x=1"]
+    assert norm[2] == [
+        "https://www.example.com/Path/To?x=1",
+        "https://other.example.com",
+    ]
+    assert norm[9] == []
+    assert norm[3] == [
+        "http://host.example.com/dir",
+        "http://host.example.com/dir",
+    ]
+    out = {
+        (r["doc_id"], r["url"]): r["kept"]
+        for r in url_dedup(df).collect()
+    }
+    # doc 2 holds the lowest id for the shared URL -> doc 5's copy dropped
+    assert out[(2, "https://www.example.com/Path/To?x=1")] is True
+    assert out[(5, "https://www.example.com/Path/To?x=1")] is False
+    assert out[(2, "https://other.example.com")] is True
+    # doc 3's two spellings normalize to ONE url -> one output row, kept
+    assert out[(3, "http://host.example.com/dir")] is True
+    assert len(out) == 4
