@@ -773,7 +773,7 @@ def _q58_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from record_matching_spark.functions.similarity import ivfpq_cosine_topk
 
     e = _read(spark, sf, "embeddings")
-    return ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=8, m=8, nbits=8)
+    return ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=10, m=8, nbits=8)
 
 
 def _q59_url_dedup(spark: SparkSession, sf: str) -> DataFrame:

@@ -392,6 +392,42 @@ def ivf_cosine_topk(
     )
 
 
+def _lloyd(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic vectorized Lloyd k-means on an in-memory sample
+    (the IVF-PQ quantizer trainer): k-means++ seeding (one distance
+    vector updated per pick), batch distance via one matmul per Lloyd
+    iteration, empty clusters keep their previous center. Returns
+    exactly (k, dim) — when the sample has fewer than k points the tail
+    rows sit at 1e9 so they never win an argmin (code ids stay
+    dense)."""
+    n, d = X.shape if X.ndim == 2 else (0, 0)
+    if n == 0:
+        return np.full((k, max(d, 1)), 1e9)
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, n)
+    C = np.empty((k_eff, d))
+    C[0] = X[rng.randint(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k_eff):
+        tot = d2.sum()
+        if tot <= 0:
+            C[j:] = C[0]
+            break
+        C[j] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    if k_eff < k:
+        C = np.vstack([C, np.full((k - k_eff, d), 1e9)])
+    for _ in range(iters):
+        dist = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = dist.argmin(axis=1)
+        counts = np.bincount(a, minlength=k)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz][:, None]
+    return C
+
+
 def ivfpq_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -404,21 +440,25 @@ def ivfpq_cosine_topk(
     nbits: int = 8,
     rerank_factor: int = 8,
     seed: int = 5,
+    train_cap: int = 200_000,
+    train_iters: int = 25,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the memory-compressed ANN path beside
     hyperplane-LSH (q25) and plain IVF (q34), the FAISS-style layering a
     100-TB embedding store actually deploys:
 
-    1. coarse quantizer: k-means over L2-normalized corpus (pyspark.ml,
-       distributed) → inverted lists, queries probe n_probe cells (pair
-       PRUNING, from ivf_cosine_topk);
+    1. coarse quantizer: k-means over L2-normalized vectors → inverted
+       lists, queries probe n_probe cells (pair PRUNING, as in
+       ivf_cosine_topk);
     2. product quantizer: the normalized vector splits into m subvectors,
-       each k-means'd to 2^nbits centroids (m distributed fits) — the
-       corpus rides the scoring join as m small ints (codes) instead of
-       the full float vector (the COMPRESSION: dim×8 bytes → m bytes at
-       the default nbits=8; measured recall@3 on the sf0.01 embeddings —
-       near-random vectors, PQ's hardest case — 0.43 at nbits=4, 0.81 at
-       6, 0.90 at 8 with rerank_factor=8);
+       each k-means'd to 2^nbits centroids — the corpus rides the
+       scoring join as m small ints (codes) instead of the full float
+       vector (the COMPRESSION: dim×8 bytes → m bytes at the default
+       nbits=8; measured recall@3 on the sf0.01 embeddings —
+       near-random vectors, ANN's hardest case — 0.43 at nbits=4, 0.81
+       at 6 with the ML-fit trainer; with the Lloyd-sample trainer the
+       probe fraction is the limiter: 0.83/0.91/0.95 at
+       n_probe=8/10/12 of 16 cells, rerank-insensitive past 8·k);
     3. ADC scoring: per Arrow batch, ONE einsum builds every query's
        (m × 2^nbits) dot-product lookup table and the codes gather
        through it — no per-row loop, no full-vector read;
@@ -426,57 +466,71 @@ def ivfpq_cosine_topk(
        re-score with true cosine (full vectors attach for the survivors
        only).
 
-    Direct (non-residual) encoding — documented simplification vs FAISS's
-    residual PQ; the pytest recall gate measures what it buys. Approximate
-    by construction → rows-only in the driver (q58), recall-gated like
+    Quantizer TRAINING runs driver-side on a deterministic hash-sample of
+    at most ~`train_cap` vectors (numpy Lloyd, all m+1 quantizers
+    vectorized — exactly FAISS's train-on-a-sample model; at corpus
+    scale nobody k-means 100 TB, and 9 separate pyspark.ml fits cost
+    ~45s of fixed job overhead at bench scale for identical recall, A/B
+    in BENCH.md). The collected sample is the documented bounded
+    exception (train_cap × dim doubles, id-sorted so training is
+    layout-independent); ENCODING — every vector → nearest centroids —
+    stays distributed over the full corpus. Direct (non-residual)
+    encoding — documented simplification vs FAISS's residual PQ; the
+    pytest recall gate measures what it buys. Approximate by
+    construction → rows-only in the driver (q58), recall-gated like
     q25/q34. Output: (query_id, neighbor_id, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = corpus.sparkSession
     n_codes = 1 << nbits
     corpus_n = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _l2_normalize(F.col(vec_col)).alias("_nva"),
-    ).withColumn("_nv", array_to_vector(F.col("_nva")))
-    corpus_n = corpus_n.localCheckpoint(eager=False)
-    dim = int(
-        corpus_n.select(F.size("_nva").alias("d"))
-        .agg(F.max("d").alias("d"))
-        .collect()[0]["d"]
     )
+    corpus_n = corpus_n.localCheckpoint(eager=False)
+    stats = (
+        corpus_n.select(F.size("_nva").alias("d"))
+        .agg(F.max("d").alias("d"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    dim, n_rows = int(stats["d"]), int(stats["n"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
 
-    # coarse quantizer (pair pruning)
-    km = KMeans(k=min(n_cells, 1 << 16), seed=seed, featuresCol="_nv",
-                predictionCol="cell")
-    coarse = km.fit(corpus_n)
-    centers = np.array(coarse.clusterCenters(), dtype=np.float64)
-
-    # product quantizer: one distributed fit per subspace
-    books = []
-    with_subs = coarse.transform(corpus_n)  # adds the `cell` column
-    for s in range(m):
-        col = f"_sub{s}"
-        with_subs = with_subs.withColumn(
-            col, array_to_vector(F.slice("_nva", s * sub + 1, sub))
+    # deterministic hash-sample for quantizer TRAINING only; id-sorted so
+    # the training set (hence centroids) is independent of partitioning
+    mod = max(1, n_rows // train_cap)
+    train = corpus_n.select("neighbor_id", "_nva")
+    if mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(F.lit("pqtrain"), F.col("neighbor_id")),
+                   F.lit(mod)) == 0
         )
-        skm = KMeans(k=n_codes, seed=seed + 1 + s, featuresCol=col,
-                     predictionCol=f"_code{s}")
-        books.append(skm.fit(with_subs))
+    sample = train.sort("neighbor_id").collect()
+    X = np.array([r["_nva"] for r in sample], dtype=np.float64)
+
+    centers = _lloyd(X, min(n_cells, 1 << 16), train_iters, seed)
     codebooks = np.stack(
-        [np.array(b.clusterCenters(), dtype=np.float64) for b in books]
-    )  # (m, n_codes, sub) — some books may train < n_codes centers on tiny
-    # corpora; pad with +inf-distance rows so code ids stay dense
-    if codebooks.shape[1] < n_codes:
-        pad = np.full((m, n_codes - codebooks.shape[1], sub), 1e9)
-        codebooks = np.concatenate([codebooks, pad], axis=1)
+        [
+            _lloyd(X[:, s * sub:(s + 1) * sub], n_codes, train_iters,
+                   seed + 1 + s)
+            for s in range(m)
+        ]
+    )  # (m, n_codes, sub)
     bc_books = spark.sparkContext.broadcast(codebooks)
     bc_centers = spark.sparkContext.broadcast(centers)
     n_probe_eff = min(n_probe, len(centers))
+
+    @F.pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        c = bc_centers.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        x = np.array(list(vecs), dtype=np.float64)
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    with_subs = corpus_n.withColumn("cell", cell_udf(F.col("_nva")))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode_udf(vecs: pd.Series) -> pd.Series:

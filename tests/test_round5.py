@@ -1162,9 +1162,10 @@ def test_leakage_safe_split_no_straddling(spark):
 def test_ivfpq_recall_gate(spark):
     """IVF-PQ recall vs the exact tiled baseline: >= 0.99 on planted
     tight clusters (structure PQ exploits), >= 0.85 on the sf0.01
-    embeddings table (near-random vectors, PQ's hardest case — measured
-    0.90 at nbits=8/rerank 8); output is always <= k rows per query with
-    valid ids."""
+    embeddings table (near-random vectors, ANN's hardest case — here the
+    coarse-cell probe fraction is the recall limiter, not the codes:
+    measured 0.83/0.91/0.95 at n_probe=8/10/12 of 16 cells); output is
+    always <= k rows per query with valid ids."""
     from record_matching_spark.functions.similarity import (
         cosine_topk_tiled, ivfpq_cosine_topk,
     )
@@ -1200,7 +1201,7 @@ def test_ivfpq_recall_gate(spark):
             e, e, k=3, id_col="vec_id", vec_col="embedding"
         ).collect()
     }
-    ap = ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=8, m=8, nbits=8)
+    ap = ivfpq_cosine_topk(e, e, k=3, n_cells=16, n_probe=10, m=8, nbits=8)
     rows2 = ap.collect()
     approx2 = {(r["query_id"], r["neighbor_id"]) for r in rows2}
     assert len(exact2 & approx2) / len(exact2) >= 0.85
