@@ -1254,3 +1254,23 @@ def test_url_extract_normalize_and_dedup(spark):
     # doc 3's two spellings normalize to ONE url -> one output row, kept
     assert out[(3, "http://host.example.com/dir")] is True
     assert len(out) == 4
+
+
+def test_pretraining_pipeline_example(spark):
+    """The composed end-to-end recipe (examples/pretraining_pipeline.py)
+    runs on sf0.001 and its accounting reconciles: every drop is
+    attributed, stages only ever shrink the corpus, shards are complete,
+    and the run is deterministic."""
+    from examples.pretraining_pipeline import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["input_docs"] == 500
+    assert sum(out["drop_counts"].values()) == out["input_docs"]
+    assert out["drop_counts"]["pass"] == out["after_quality"]
+    assert out["after_near_dup"] <= out["after_quality"]
+    assert out["train_docs"] <= out["after_near_dup"] - out["decontaminated_out"]
+    assert 0 < out["balanced_docs"] <= out["train_docs"]
+    assert out["shards"] == 8
+    assert out["n_sequences"] >= out["total_tokens"] // 512
+    out2 = run(spark, "/root/testdata/sf0.001")
+    assert out2 == out
