@@ -5,7 +5,7 @@ small-star transitive closure over the sf0.001 documents table (the
 reference pipeline's block→pair→cluster core re-expressed Spark-first).
 
 `queries()` / `oracle_sql()` — one entry per implemented operator family
-from SURVEY.md §2, DuckDB-oracled where expressible (54 of 59, including
+from SURVEY.md §2, DuckDB-oracled where expressible (55 of 60, including
 the q26/q29 recursive-CTE closures, the q24/q36 portable-md5-hash
 variants recomputed entirely in SQL, q37's MOSS alignment spans, q38's
 cross-corpus decontamination, q39's C4-style line-level dedup, q40's
@@ -21,9 +21,10 @@ mixture accounting, temperature resampling, end-to-end near-dup corpus
 dedup, the composed quality-filter chain with per-rule verdicts,
 deterministic global shuffle rank, token-balanced shard layout,
 BPE-pretokenizer token counting, incremental-ingest dedup against a
-persisted index, bigram-LM fluency scoring, leakage-safe cluster-level
-splitting, and URL canonicalization + one-doc-per-URL dedup — each
-replayed exactly in SQL).
+persisted index, bigram-LM fluency scoring in add-k AND interpolated
+Kneser-Ney forms, leakage-safe cluster-level splitting, and URL
+canonicalization + one-doc-per-URL dedup — each replayed exactly in
+SQL).
 Rows-only by design: q25/q34/q58 approximate ANN (recall-gated; q58 is
 IVF-PQ, the memory-compressed path), q27 media decode (no codecs in
 DuckDB), q30 the full ER pipeline on an in-flight synthetic corpus
@@ -803,6 +804,22 @@ def _q59_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return url_dedup(with_urls)
 
 
+def _q60_kn_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline op: interpolated Kneser-Ney bigram-LM fluency
+    score (absolute discount 0.75, continuation-probability backoff —
+    the standard n-gram smoother) beside q56's add-k variant; all four
+    count tables derive from one bigram aggregate."""
+    from record_matching_spark.functions.text import bigram_logprob
+
+    d = _read(spark, sf, "documents")
+    r = bigram_logprob(
+        d, text_col="text", id_col="doc_id", smoothing="kn", discount=0.75
+    )
+    return r.select(
+        "doc_id", "n_bigrams", F.round("neg_logprob", 6).alias("neg_logprob")
+    )
+
+
 def _q24_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup: SimHash near-dups (pigeonhole chunk blocking + bit_count
     verify). With max_hamming=3 ≤ n_chunks-1 the output is EXACTLY the
@@ -970,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_leakage_safe_split": _q57_leakage_safe_split,
         "q58_ivfpq_topk": _q58_ivfpq_topk,
         "q59_url_dedup": _q59_url_dedup,
+        "q60_kn_bigram_logprob": _q60_kn_bigram_logprob,
     }
 
 
@@ -1984,6 +2002,46 @@ def oracle_sql() -> dict[str, str]:
                                              cluster_id::VARCHAR), 1, 8))::UBIGINT
                          % 1000000 AS b
                   FROM assign)
+        """,
+        "q60_kn_bigram_logprob": r"""
+            WITH tk AS (
+                SELECT doc_id, list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+                FROM tk,
+                     unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+            ),
+            dc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+            bgc AS (SELECT bg, sum(c) AS c_bg FROM dc GROUP BY bg),
+            ugc AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+                    FROM bgc GROUP BY w1),
+            n1f AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS nf
+                    FROM bgc GROUP BY w1),
+            n1b AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS nb
+                    FROM bgc GROUP BY w2),
+            ty AS (SELECT count(*)::DOUBLE AS types FROM bgc),
+            model AS (
+                SELECT bg,
+                       greatest(c_bg - 0.75, 0.0) / c_w1
+                       + (0.75 * nf / c_w1) * (nb / types) AS p
+                FROM bgc
+                JOIN ugc ON split_part(bg, ' ', 1) = ugc.w1
+                JOIN n1f ON split_part(bg, ' ', 1) = n1f.w1
+                JOIN n1b ON split_part(bg, ' ', 2) = n1b.w2, ty
+            ),
+            s AS (
+                SELECT doc_id, sum(c) AS nb,
+                       sum(c * -ln(p)) / sum(c) AS nlp
+                FROM dc JOIN model USING (bg) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+                   round(coalesce(s.nlp, 0.0), 6) AS neg_logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "q56_bigram_logprob": r"""
             WITH tk AS (

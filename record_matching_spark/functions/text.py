@@ -976,14 +976,22 @@ def bigram_logprob(
     id_col: str = "doc_id",
     add_k: float = 1.0,
     broadcast_model: bool = True,
+    smoothing: str = "addk",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Corpus-self-trained BIGRAM language-model score per document: mean
-    negative log of the add-k-smoothed conditional p(w2|w1) =
-    (c(w1 w2) + k) / (c(w1) + k·V) over the doc's bigrams — the
-    perplexity-style fluency signal one rung above unigram_logprob
-    (repetitive/templated text scores LOW, shuffled-word noise scores
-    HIGH even when its unigrams look fine). No external model, per the
-    north rule.
+    negative log of the smoothed conditional p(w2|w1) over the doc's
+    bigrams — the perplexity-style fluency signal one rung above
+    unigram_logprob (repetitive/templated text scores LOW, shuffled-word
+    noise scores HIGH even when its unigrams look fine). No external
+    model, per the north rule.
+
+    smoothing='addk' (q56): p = (c(w1 w2) + k) / (c(w1) + k·V).
+    smoothing='kn' (q60): interpolated Kneser-Ney with absolute discount
+    d — p = max(c(w1 w2) − d, 0)/c(w1) + (d·N1+(w1,·)/c(w1)) ·
+    N1+(·,w2)/|bigram types| — the continuation-probability backoff that
+    makes KN the standard n-gram smoother; all four count tables derive
+    from the same bigram aggregate, no extra corpus scan.
 
     Scale shape mirrors unigram_logprob: the exploded bigram stream
     collapses to per-(doc, bigram) counts first; the bigram and unigram
@@ -1016,17 +1024,49 @@ def bigram_logprob(
         .groupBy("w1")
         .agg(F.sum("c_bg").alias("c_w1"))
     )
-    vocab_size = int(ug_counts.count())
     bgm = bg_counts.withColumn(
         "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     ).join(ug_counts, "w1")
-    model = bgm.select(
-        "bg",
-        (
-            (F.col("c_bg") + F.lit(float(add_k)))
-            / (F.col("c_w1") + F.lit(float(add_k) * vocab_size))
-        ).alias("p"),
-    )
+    if smoothing == "kn":
+        d = float(discount)
+        n_types = int(bg_counts.count())
+        n1f = (
+            bg_counts.withColumn(
+                "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+            )
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("n1f"))
+        )
+        n1b = (
+            bg_counts.withColumn(
+                "w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+            )
+            .groupBy("w2")
+            .agg(F.count(F.lit(1)).alias("n1b"))
+        )
+        model = (
+            bgm.join(n1f, "w1")
+            .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+            .join(n1b, "w2")
+            .select(
+                "bg",
+                (
+                    F.greatest(F.col("c_bg") - F.lit(d), F.lit(0.0))
+                    / F.col("c_w1")
+                    + (F.lit(d) * F.col("n1f") / F.col("c_w1"))
+                    * (F.col("n1b") / F.lit(float(n_types)))
+                ).alias("p"),
+            )
+        )
+    else:
+        vocab_size = int(ug_counts.count())
+        model = bgm.select(
+            "bg",
+            (
+                (F.col("c_bg") + F.lit(float(add_k)))
+                / (F.col("c_w1") + F.lit(float(add_k) * vocab_size))
+            ).alias("p"),
+        )
     if broadcast_model:
         model = F.broadcast(model)
     scored = (

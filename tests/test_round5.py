@@ -1274,3 +1274,48 @@ def test_pretraining_pipeline_example(spark):
     assert out["n_sequences"] >= out["total_tokens"] // 512
     out2 = run(spark, "/root/testdata/sf0.001")
     assert out2 == out
+
+
+def test_kn_bigram_logprob_hand_example(spark):
+    """Interpolated Kneser-Ney pinned to its textbook formula on a hand
+    corpus; the continuation term works: a bigram whose RIGHT word
+    appears after many contexts gets more backoff mass than one whose
+    right word is context-locked, even at equal raw counts."""
+    import math
+
+    from record_matching_spark.functions.text import bigram_logprob
+
+    rows = [
+        (1, "a b a b"),   # bigrams: 'a b' x2, 'b a' x1
+        (2, "c b c a"),   # 'c b' x1, 'b c' x1, 'c a' x1
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            smoothing="kn", discount=0.75,
+        ).collect()
+    }
+    # corpus bigram counts: ab:2 ba:1 cb:1 bc:1 ca:1 -> 5 types
+    # c(w1): a->3 (ab2+... a is left of: ab2, b? no. a:'a b'x2 =2? recount:
+    # bigrams: doc1: ab, ba, ab ; doc2: cb, bc, ca
+    # c_bg: ab=2, ba=1, cb=1, bc=1, ca=1; c(w1): a=2(ab)... a also left in
+    # nothing else -> a=2; b: ba+bc=2; c: cb+ca=2
+    # N1+(w1,.): a->1(ab), b->2(ba,bc), c->2(cb,ca)
+    # N1+(.,w2): b<-{a,c}=2, a<-{b,c}=2, c<-{b}=1 ; types=5
+    d = 0.75
+    ty = 5.0
+    def p(c_bg, c_w1, nf, nb):
+        return max(c_bg - d, 0.0) / c_w1 + (d * nf / c_w1) * (nb / ty)
+    p_ab = p(2, 2, 1, 2)
+    p_ba = p(1, 2, 2, 2)
+    p_cb = p(1, 2, 2, 2)
+    p_bc = p(1, 2, 2, 1)
+    p_ca = p(1, 2, 2, 2)
+    exp1 = (2 * -math.log(p_ab) + -math.log(p_ba)) / 3
+    exp2 = (-math.log(p_cb) + -math.log(p_bc) + -math.log(p_ca)) / 3
+    assert abs(out[1]["neg_logprob"] - exp1) < 1e-12
+    assert abs(out[2]["neg_logprob"] - exp2) < 1e-12
+    # continuation effect: 'b c' (right word c follows only 1 context)
+    # scores lower p than 'c b' (b follows 2 contexts) at equal counts
+    assert p_bc < p_cb
