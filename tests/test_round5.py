@@ -1319,3 +1319,19 @@ def test_kn_bigram_logprob_hand_example(spark):
     # continuation effect: 'b c' (right word c follows only 1 context)
     # scores lower p than 'c b' (b follows 2 contexts) at equal counts
     assert p_bc < p_cb
+
+
+def test_er_pipeline_example(spark, tmp_path):
+    """The runnable ER example (examples/er_pipeline.py) produces perfect
+    clusters on its synthetic corpus and a stable fingerprint — and a
+    SECOND run over the same workdir resumes every stage from its
+    manifest with a byte-identical result."""
+    from examples.er_pipeline import run
+
+    wd = str(tmp_path / "er_example")
+    out = run(spark, wd, n_families=40, seed=7)
+    assert out["ari"] == 1.0
+    assert out["n_clusters"] > 0
+    out2 = run(spark, wd, n_families=40, seed=7)
+    assert out2["clusters_sha"] == out["clusters_sha"]
+    assert all(v == {"resumed": True} for v in out2["stage_metrics"].values())
