@@ -1,9 +1,16 @@
-"""Round-5 gates: ADVICE r4 fixes (empty-dup-slot prefilter, NUL-safe JW
-dedupe), the vectorized codepoint padding (VERDICT item 7), lazy hyperplane
-planes — no plan-time probe job (item 6), C4-style line-level dedup (item
-2), Gopher repetition signals (item 3), the embedding near-dup LSH scale
-path with its recall gate (item 4), and the mid-stage-kill manifest gate
-(item 8)."""
+"""Round-5 gates. First batch: ADVICE r4 fixes (empty-dup-slot prefilter,
+NUL-safe JW dedupe), the vectorized codepoint padding (VERDICT item 7),
+lazy hyperplane planes (item 6), C4-style line-level dedup (item 2),
+Gopher repetition signals (item 3), the embedding near-dup LSH scale path
+(item 4), the mid-stage-kill manifest gate (item 8), span decontamination,
+PII scrub, substring dedup, packing, JSONL, HTML extraction, streaming
+decontamination. Second batch (q46-q60): unigram/bigram/Kneser-Ney LM
+scoring, exact n-gram decontamination, mixture accounting, temperature
+resampling, keep-one near-dup dedup, quality-filter chain, global shuffle
+rank, token-balanced shards, BPE pretokenizer counting, incremental-ingest
+index, leakage-safe splitting, IVF-PQ (residual) with its recall gate, URL
+dedup, the two-level prefix-sum property gate, streaming stateless parity,
+and the two runnable end-to-end examples (ER + pretraining recipe)."""
 
 from __future__ import annotations
 
