@@ -443,6 +443,8 @@ def ivfpq_cosine_topk(
     train_cap: int = 200_000,
     train_iters: int = 25,
     residual: bool = True,
+    opq: bool = False,
+    opq_iters: int = 8,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the memory-compressed ANN path beside
     hyperplane-LSH (q25) and plain IVF (q34), the FAISS-style layering a
@@ -480,9 +482,17 @@ def ivfpq_cosine_topk(
     and ADC adds q·centroid back — measured +0.5-0.7pp recall over
     direct encoding on near-random vectors (cells there have large
     radii; tight-clustered data benefits far more); `residual=False`
-    keeps the simpler direct encoding. Approximate by construction →
-    rows-only in the driver (q58), recall-gated like q25/q34.
-    Output: (query_id, neighbor_id, rank)."""
+    keeps the simpler direct encoding. `opq=True` additionally learns an
+    ORTHOGONAL ROTATION of the (residual) space before splitting into
+    subvectors (OPQ, Ge et al. CVPR'13: alternate codebook fit ↔
+    orthogonal-Procrustes solve on the training sample) — rotation
+    redistributes correlated energy across the m subspaces, which direct
+    axis-aligned splitting quantizes badly; the rotation being
+    orthogonal, ADC dot products compute in the rotated frame with no
+    correction term. Off by default (isotropic data gains nothing —
+    A/B'd on planted anisotropic data in the pytest gate). Approximate
+    by construction → rows-only in the driver (q58), recall-gated like
+    q25/q34. Output: (query_id, neighbor_id, rank)."""
     spark = corpus.sparkSession
     n_codes = 1 << nbits
     corpus_n = corpus.select(
@@ -522,15 +532,41 @@ def ivfpq_cosine_topk(
         R = X - centers[dist.argmin(axis=1)]
     else:
         R = X
-    codebooks = np.stack(
-        [
-            _lloyd(R[:, s * sub:(s + 1) * sub], n_codes, train_iters,
-                   seed + 1 + s)
-            for s in range(m)
-        ]
-    )  # (m, n_codes, sub)
+
+    def _fit_books(Z: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [
+                _lloyd(Z[:, s * sub:(s + 1) * sub], n_codes, train_iters,
+                       seed + 1 + s)
+                for s in range(m)
+            ]
+        )  # (m, n_codes, sub)
+
+    rot = np.eye(dim)
+    if opq:
+        # OPQ (Ge et al. CVPR'13), non-parametric form: alternate
+        # (a) fit codebooks in the rotated frame, (b) quantize, (c) solve
+        # the orthogonal Procrustes min ||R·rot − Q|| → rot = U·Vᵀ of
+        # svd(Rᵀ·Q). Driver-side on the same bounded training sample.
+        for _ in range(max(1, opq_iters)):
+            Z = R @ rot
+            books_it = _fit_books(Z)
+            cross = np.einsum(
+                "bms,mks->bmk", Z.reshape(len(Z), m, sub), books_it
+            )
+            c2 = (books_it * books_it).sum(axis=2)[None, :, :]
+            codes_it = (c2 - 2.0 * cross).argmin(axis=2)  # (n, m)
+            Q = books_it[
+                np.arange(m)[None, :], codes_it
+            ].reshape(len(Z), dim)
+            U, _, Vt = np.linalg.svd(R.T @ Q)
+            rot = U @ Vt
+        codebooks = _fit_books(R @ rot)
+    else:
+        codebooks = _fit_books(R)
     bc_books = spark.sparkContext.broadcast(codebooks)
     bc_centers = spark.sparkContext.broadcast(centers)
+    bc_rot = spark.sparkContext.broadcast(rot if opq else None)
     n_probe_eff = min(n_probe, len(centers))
 
     @F.pandas_udf("int")
@@ -552,6 +588,8 @@ def ivfpq_cosine_topk(
         x = np.array(list(vecs), dtype=np.float64)
         if residual:
             x = x - bc_centers.value[cells.to_numpy(dtype=np.int64)]
+        if bc_rot.value is not None:
+            x = x @ bc_rot.value
         x = x.reshape(len(x), m, sub)
         # argmin ||x_s - c||² per subspace: one einsum for the cross terms
         cross = np.einsum("bms,mks->bmk", x, cb)          # (batch, m, K)
@@ -582,7 +620,10 @@ def ivfpq_cosine_topk(
             return pd.Series([], dtype=np.float64)
         x = np.array(list(qv), dtype=np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True) + _EPS
-        xs = x.reshape(len(x), m, sub)
+        # rotation is orthogonal: q·r = (q·rot)·(r·rot), so the ADC part
+        # computes in the rotated frame; the q·centroid term stays unrotated
+        xr = x @ bc_rot.value if bc_rot.value is not None else x
+        xs = xr.reshape(len(x), m, sub)
         tables = np.einsum("bms,mks->bmk", xs, cb)        # (batch, m, K)
         cd = np.array(list(codes), dtype=np.int64)        # (batch, m)
         rows = np.arange(len(x))[:, None]

@@ -1342,3 +1342,46 @@ def test_er_pipeline_example(spark, tmp_path):
     out2 = run(spark, wd, n_families=40, seed=7)
     assert out2["clusters_sha"] == out["clusters_sha"]
     assert all(v == {"resumed": True} for v in out2["stage_metrics"].values())
+
+
+def test_opq_rotation_beats_plain_pq_on_anisotropic(spark):
+    """OPQ A/B on planted ANISOTROPIC vectors (low-dim structure mixed
+    through a fixed orthogonal rotation, so axis-aligned PQ subspaces see
+    correlated energy): the learned rotation must strictly improve ADC
+    ranking recall at identical bits. Deterministic seeds; measured
+    0.9775 plain vs 0.9892 OPQ."""
+    from record_matching_spark.functions.similarity import (
+        cosine_topk_tiled, ivfpq_cosine_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    M, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    cents = rng.normal(size=(40, 6)) * 5.0
+    rows = []
+    vid = 0
+    for ci in range(40):
+        for _ in range(10):
+            z = np.zeros(64)
+            z[:6] = cents[ci] + 0.3 * rng.normal(size=6)
+            z[6:] = 0.3 * rng.normal(size=58)
+            rows.append((vid, [float(x) for x in z @ M]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_tiled(
+            df, df, k=3, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    rec = {}
+    for opq in (False, True):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_cosine_topk(
+                df, df, k=3, n_cells=8, n_probe=8, m=8, nbits=4,
+                rerank_factor=4, opq=opq,
+            ).collect()
+        }
+        rec[opq] = len(a & exact) / len(exact)
+    assert rec[True] > rec[False], rec
+    assert rec[True] >= 0.985 and rec[False] >= 0.9, rec
