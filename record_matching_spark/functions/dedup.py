@@ -18,6 +18,28 @@ from record_matching_spark.operators.minhash import minhash_bands, with_minhash_
 from record_matching_spark.operators.normalize import char_shingles, tokenize
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 input skew): a single
+    unsplittable input file (one parquet row group) pins every narrow
+    downstream op — tokenize/shingle, the minhash Arrow UDF, band explode —
+    to ONE task. When the input's planned parallelism is below the
+    runtime's, round-robin repartition to the full core count first (the
+    rows repartitioned are the raw corpus rows, the cheapest thing in the
+    dedup plan to move). On real multi-file inputs (scan splits ≥ cores)
+    this is a NO-OP — no exchange is added at cluster scale. Measured on
+    the single-file sf0.1 documents table: the q19 signature pipeline drops
+    from a 4.1s single-core stage to a parallel one (~8× wall)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text; keeps the minimum id as representative.
     (The reference's dedup-by-hash stage, /root/reference/record_matching/
@@ -128,9 +150,14 @@ def minhash_near_dup_pairs(
             return char_shingles(c, shingle_k)
         return tokenize(c)
 
+    # single-file corpora otherwise run tokenize+signature on one core
+    df = _fan_out(df)
+    # no array_sort: the minhash signature is a set function of the distinct
+    # tokens, so sorting the (string) token array first is pure waste — for
+    # shingle mode that was an n·log n string sort per document
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_sort(F.array_distinct(_tok(F.col(text_col)))).alias("_t"),
+        F.array_distinct(_tok(F.col(text_col))).alias("_t"),
     )
     sigs = with_minhash_signature(
         toks, tokens_col="_t", num_hashes=num_hashes, uniq_col="_id"
@@ -167,9 +194,11 @@ def minhash_near_dup_pairs(
     if broadcast_features is None:
         n_docs = obs.get["n"] / (num_bands + 1)
         broadcast_features = n_docs <= 200_000
-    # verify on xxhash64'd token arrays: long-array intersect/union is ~9×
-    # cheaper than string arrays and Jaccard is unchanged (a 64-bit collision
-    # inside one pair's ~100-token union has probability ~1e-16)
+    # verify on xxhash64'd token arrays: long-array intersect is ~9× cheaper
+    # than string arrays and Jaccard is unchanged (a 64-bit collision inside
+    # one pair's ~100-token union has probability ~1e-16). Materialized ONCE
+    # (localCheckpoint): both verify sides and the size table read it, so
+    # tokenize runs one more time total instead of once per join side.
     toksh = df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(
@@ -178,20 +207,34 @@ def minhash_near_dup_pairs(
             )
         ).alias("_t"),
         F.xxhash64(F.col(text_col)).alias("_sha"),
-    )
-    a = toksh.select(F.col("_id").alias("left"), F.col("_t").alias("_ta"),
-                     F.col("_sha").alias("_sha_a"), F.size("_t").alias("_na"))
-    b = toksh.select(F.col("_id").alias("right"), F.col("_t").alias("_tb"),
-                     F.col("_sha").alias("_sha_b"), F.size("_t").alias("_nb"))
+    ).withColumn("_n", F.size("_t")).localCheckpoint(eager=True)
     if broadcast_features:
-        a, b = F.broadcast(a), F.broadcast(b)
+        # split attach (all four joins map-side broadcast): sizes+sha first
+        # so the size filter runs before any array row is built
+        sz_a = F.broadcast(toksh.select(
+            F.col("_id").alias("left"),
+            F.col("_sha").alias("_sha_a"), F.col("_n").alias("_na")))
+        sz_b = F.broadcast(toksh.select(
+            F.col("_id").alias("right"),
+            F.col("_sha").alias("_sha_b"), F.col("_n").alias("_nb")))
+        a = F.broadcast(toksh.select(F.col("_id").alias("left"),
+                                     F.col("_t").alias("_ta")))
+        b = F.broadcast(toksh.select(F.col("_id").alias("right"),
+                                     F.col("_t").alias("_tb")))
+    else:
+        # sort-merge regime: a split attach would double the pair-stream
+        # exchanges, so sizes ride with the arrays (the round-5 shape)
+        sz_a = sz_b = None
+        a = toksh.select(F.col("_id").alias("left"), F.col("_t").alias("_ta"),
+                         F.col("_sha").alias("_sha_a"), F.col("_n").alias("_na"))
+        b = toksh.select(F.col("_id").alias("right"), F.col("_t").alias("_tb"),
+                         F.col("_sha").alias("_sha_b"), F.col("_n").alias("_nb"))
     # dedup-first: cross-band duplicate pairs would multiply the (array-
     # copying) feature joins, and the pair stream is just two int64 columns —
     # the cheapest thing in this plan to shuffle
     pairs = candidate_pairs(
         blocks, id_col="_id", salt_cap=salt_cap, keep_block_key=False
     )
-    union_sz = F.size(F.array_union("_ta", "_tb"))
     # both-empty token sets: duplicate ONLY when content is identical
     empty_case = F.when(F.col("_sha_a") == F.col("_sha_b"), F.lit(1.0)).otherwise(
         F.lit(0.0)
@@ -204,19 +247,29 @@ def minhash_near_dup_pairs(
     # The 1e-9 slack guards the one-ulp division-rounding edge so no true
     # pair is lost; both-empty pairs (_na=_nb=0 → ratio computed on 0/0)
     # are kept via the >= on greatest(...,1) only when sizes are equal.
+    # r6 optimization: the size/sha columns attach FIRST (three int64s per
+    # side) and the filter runs BEFORE the token arrays join on, so the
+    # array-copying attach touches only size-plausible candidates (~30% of
+    # the stream on the sf0.1 mega-clusters) instead of every one.
     size_ok = (
         F.least("_na", "_nb").cast("double")
         / F.greatest("_na", "_nb", F.lit(1))
         >= F.lit(threshold - 1e-9)
     ) | ((F.col("_na") == 0) & (F.col("_nb") == 0))
+    # |A∪B| = |A| + |B| − |A∩B| (the arrays are distinct), so array_union
+    # never needs to materialize — one set op per pair instead of two
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union_sz = F.col("_na") + F.col("_nb") - inter
+    if broadcast_features:
+        cand = pairs.join(sz_a, "left").join(sz_b, "right").filter(size_ok)
+        cand = cand.join(a, "left").join(b, "right")
+    else:
+        cand = pairs.join(a, "left").join(b, "right").filter(size_ok)
     return (
-        pairs.join(a, "left")
-        .join(b, "right")
-        .filter(size_ok)
-        .withColumn(
+        cand.withColumn(
             "jaccard",
-            F.when(union_sz == 0, empty_case).otherwise(
-                F.size(F.array_intersect("_ta", "_tb")).cast("double") / union_sz
+            F.when((F.col("_na") == 0) & (F.col("_nb") == 0), empty_case).otherwise(
+                inter.cast("double") / union_sz
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -244,9 +244,12 @@ def _two_level_prefix(
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    # eager: the totals collect below and the final join both read this —
+    # an un-pinned lazy checkpoint left the range-partition + sort open to
+    # recomputation depending on which action ran first (VERDICT r5 nit)
     local = ranged.withColumn(
         "_local_end", F.sum(val_col).over(w)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     totals = sorted(
         (r["_pid"], r["_t"])
         for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_t")).collect()

@@ -353,10 +353,10 @@ def candidate_pairs(
     # counts quadratically per block, so neither AQE coalescing (which sees
     # only the small pre-explosion bytes) nor the input file layout (a few
     # scan partitions) may be allowed to serialize it.
+    n_part = int(
+        blocks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     if repartition_blocks:
-        n_part = int(
-            blocks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
         b = blocks.repartition(n_part, F.col("block_key"))
     else:
         b = blocks
@@ -410,8 +410,33 @@ def candidate_pairs(
     )
     if not dedup:
         return raw if keep_block_key else raw.select("left", "right")
+    # Pair dedup, exchange-first (r6 optimization, guide §2.5/§5): the raw
+    # pair stream is quadratic per block and SKEWED per join task (one
+    # mega-band's task can emit 10-100× the median), so a map-side partial
+    # aggregate sitting directly on the join output builds multi-million-row
+    # hash maps in the skewed tasks and spills. Instead hash-exchange the
+    # raw rows by the pair key FIRST (cheap per row — no agg state below the
+    # exchange), then aggregate within evenly-hashed partitions. Partition
+    # count scales with the runtime (2× total cores, floor n_part) rather
+    # than the census-partition count — the pair stream is the largest thing
+    # in this plan and wants the finest grain; AQE cannot split a skewed
+    # aggregation, only joins. Interleaved A/B on the sf0.1 mega-block
+    # corpus (94M raw → 10.5M distinct): plain distinct 6.5-7.2s,
+    # exchange-first at 2×cores 3.7-4.0s; 8×cores regresses to 5.8s
+    # (task overhead), so the multiplier stays at 2.
+    pair_parts = max(
+        n_part, 2 * blocks.sparkSession.sparkContext.defaultParallelism
+    )
     if not keep_block_key:
         # shuffles only the two id columns — cheaper when the caller doesn't
         # need the block provenance (e.g. dedup verification)
-        return raw.select("left", "right").distinct()
-    return raw.groupBy("left", "right").agg(F.min("block_key").alias("block_key"))
+        return (
+            raw.select("left", "right")
+            .repartition(pair_parts, "left", "right")
+            .distinct()
+        )
+    return (
+        raw.repartition(pair_parts, "left", "right")
+        .groupBy("left", "right")
+        .agg(F.min("block_key").alias("block_key"))
+    )

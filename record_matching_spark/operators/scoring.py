@@ -102,45 +102,161 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
 
     Columns: content_sha, sig (levenshtein signature string, ≤_SIG_CHARS),
     tid (sorted int32 token-hash ids), tw (L2-normalized float32 TF-IDF
-    weights aligned with tid). Fully JVM-side.
+    weights aligned with tid).
 
     The payload is deliberately COMPACT — this table is joined onto every
     candidate sha-pair, so its row width is the scoring stage's shuffle
     volume: int32 ids + float32 weights + a short signature ≈ 0.8 KB/row vs
     ~3 KB when shipping raw token strings (a 32-bit token-hash collision
     inside one pair's union perturbs jaccard by ~1%, far below the decision
-    margin)."""
+    margin).
+
+    r6 plan (guide §2.3 'aggregate before you shuffle' + §4.2): the round-5
+    shape exploded every token occurrence into a (csid, tid) row, shuffled
+    it twice (groupBy (csid,tid), then groupBy csid + collect_list + sort)
+    and joined the idf table back — the token explosion was the widest
+    exchange in the ER scoring stage (er_shaf isolated at 10.2s of the
+    15.0s er_scoring probe). Now the per-doc (tid, tf) arrays are built
+    MAP-SIDE in one Arrow pass (np.unique over packed (row<<31)|tid keys —
+    no per-row Python), only the tid→df aggregate shuffles (vocab-sized,
+    map-side partial agg), the idf table broadcasts as two numpy arrays,
+    and the weights+norms are computed map-side in a second Arrow pass.
+    Zero doc-sized exchanges. The doc count rides the stage-1 checkpoint
+    via observe() — no separate count job. Beyond 1M distinct docs the
+    vocabulary may not fit the driver, so the round-5 shuffle shape is
+    kept as the fallback (same outputs, pinned by
+    tests/test_round6.py::test_sha_features_paths_agree)."""
+    from pyspark.sql import Observation
+
     docs = files.select("content_sha", tokens_col).dropDuplicates(["content_sha"])
     docs = docs.withColumn("csid", F.xxhash64("content_sha"))
-    docs = docs.withColumn("toks", F.array_sort(F.array_distinct(F.col(tokens_col))))
-    n_docs = docs.count()
-
     # tf counts RAW token occurrences (pre-distinct) so the (1 + log tf)
-    # term is live; `toks` (distinct) is only for the lev signature.
-    # All TF-IDF shuffles are keyed on int64 csid / int32 tid — tokens are
-    # hashed to tids BEFORE the explode so no 64-char sha or token string
-    # rides a shuffle (a 31-bit tid collision merges two token counts inside
-    # one doc: ~1% jaccard perturbation at worst, below the decision margin).
-    tf = (
-        docs.select(
-            "csid",
-            F.explode_outer(
-                F.transform(
-                    F.col(tokens_col),
-                    lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
-                )
-            ).alias("tid"),
-        )
-        .groupBy("csid", "tid")
-        .agg(F.count("*").alias("tf"))
+    # term is live; the distinct-token sort feeds only the lev signature.
+    # Tokens are hashed to 31-bit tids JVM-side BEFORE the Arrow pass so no
+    # 64-char sha or token string crosses the Python boundary (a 31-bit tid
+    # collision merges two token counts inside one doc: ~1% jaccard
+    # perturbation at worst, below the decision margin).
+    pre = docs.select(
+        "content_sha",
+        "csid",
+        F.substring(
+            F.concat_ws(
+                " ",
+                F.slice(F.array_sort(F.array_distinct(F.col(tokens_col))), 1, _SIG_TOKENS),
+            ),
+            1,
+            _SIG_CHARS,
+        ).alias("sig"),
+        F.transform(
+            F.col(tokens_col),
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+        ).alias("_tid_all"),
     )
-    df_tok = tf.groupBy("tid").agg(F.count("*").alias("df"))
+
+    def tf_kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            idx = {name: i for i, name in enumerate(rb.schema.names)}
+            lens, flat = _flat_lists(rb.column(idx["_tid_all"]))
+            n = rb.num_rows
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keys = (rows << 31) | flat.astype(np.int64)
+            uk, counts = np.unique(keys, return_counts=True)
+            urows = (uk >> 31).astype(np.int64)
+            utids = (uk & 0x7FFFFFFF).astype(np.int32)
+            row_lens = np.bincount(urows, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(row_lens, out=offsets[1:])
+            tid_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(utids))
+            tf_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(counts.astype(np.int64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(idx["content_sha"]), rb.column(idx["csid"]),
+                 rb.column(idx["sig"]), tid_col, tf_col],
+                names=["content_sha", "csid", "sig", "tid", "tf"],
+            )
+
+    obs = Observation("shaf_n_docs")
+    stage1 = pre.mapInArrow(
+        tf_kernel,
+        schema="content_sha string, csid long, sig string, "
+               "tid array<int>, tf array<bigint>",
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    # materialized once: the df aggregate below and the final weight pass
+    # both read it, and the observe rides this single action
+    stage1 = stage1.localCheckpoint(eager=True)
+    n_docs = int(obs.get["n"])
+
     if n_docs <= 1_000_000:
-        # vocab ≪ corpus: broadcasting the df table turns the idf attach into
-        # a shuffle-free broadcast join (vs sort-merge shuffling every
-        # (csid, tid, tf) row a second time); beyond ~1M docs the vocab may
-        # not fit a broadcast — fall back to the shuffle join
-        df_tok = F.broadcast(df_tok)
+        # vocab ≪ corpus: ship the idf table to executors as two sorted
+        # numpy arrays and finish entirely map-side. The only shuffle in
+        # this whole operator is the vocab-sized tid→df aggregate.
+        df_rows = (
+            stage1.select(F.explode("tid").alias("tid"))
+            .groupBy("tid")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        vt = np.array([r["tid"] for r in df_rows], dtype=np.int64)
+        vdf = np.array([r["df"] for r in df_rows], dtype=np.float64)
+        order = np.argsort(vt)
+        vt, vdf = vt[order], vdf[order]
+        bc = files.sparkSession.sparkContext.broadcast((vt, vdf))
+        nd = float(n_docs)
+
+        def w_kernel(batches):
+            import pyarrow as pa
+
+            vt_l, vdf_l = bc.value
+            for rb in batches:
+                idx = {name: i for i, name in enumerate(rb.schema.names)}
+                tid_arr = rb.column(idx["tid"])
+                lens, flat_tid = _flat_lists(tid_arr)
+                _, flat_tf = _flat_lists(rb.column(idx["tf"]))
+                n = rb.num_rows
+                dfv = vdf_l[np.searchsorted(vt_l, flat_tid.astype(np.int64))]
+                # identical formula/order to the JVM expression:
+                # (1 + ln tf) * (ln((N+1)/(df+1)) + 1)
+                w = (1.0 + np.log(flat_tf.astype(np.float64))) * (
+                    np.log((nd + 1.0) / (dfv + 1.0)) + 1.0
+                )
+                rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+                # per-doc sum of squares in tid order — the same sequential
+                # fold order as the round-5 JVM aggregate over the sorted tv
+                norms = np.sqrt(np.bincount(rows, weights=w * w, minlength=n))
+                tw = (w / norms[rows]).astype(np.float32)
+                offsets = np.zeros(n + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                tw_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tw))
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(idx["content_sha"]), rb.column(idx["sig"]),
+                     tid_arr, tw_col],
+                    names=["content_sha", "sig", "tid", "tw"],
+                )
+
+        out = stage1.mapInArrow(
+            w_kernel,
+            schema="content_sha string, sig string, tid array<int>, "
+                   "tw array<float>",
+        )
+        # empty-token docs carried NULL tid/tw in the round-5 left-join
+        # shape; keep that contract (consumers flag them via
+        # coalesce(size(tid), 0) == 0 and the s2 parquet stage round-trips)
+        return out.select(
+            "content_sha", "sig",
+            F.when(F.size("tid") > 0, F.col("tid")).alias("tid"),
+            F.when(F.size("tid") > 0, F.col("tw")).alias("tw"),
+        )
+
+    # >1M distinct docs: the vocab may not fit the driver/broadcast — keep
+    # the round-5 shuffle shape (explode from the per-doc tf arrays, join
+    # the df table, rebuild sorted vectors)
+    tf = stage1.select(
+        "csid", F.explode(F.arrays_zip("tid", "tf")).alias("z")
+    ).select("csid", F.col("z.tid").alias("tid"), F.col("z.tf").alias("tf"))
+    df_tok = tf.groupBy("tid").agg(F.count("*").alias("df"))
     weighted = tf.join(df_tok, "tid").withColumn(
         "w",
         (F.lit(1.0) + F.log(F.col("tf").cast("double")))
@@ -159,13 +275,7 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             F.transform("tv", lambda x: (x["w"] / F.col("norm")).cast("float")).alias("tw"),
         )
     )
-    sigs = docs.select(
-        "content_sha",
-        "csid",
-        F.substring(
-            F.concat_ws(" ", F.slice("toks", 1, _SIG_TOKENS)), 1, _SIG_CHARS
-        ).alias("sig"),
-    )
+    sigs = stage1.select("content_sha", "csid", "sig")
     return sigs.join(vecs, "csid", "left").drop("csid")
 
 
