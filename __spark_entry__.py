@@ -123,11 +123,33 @@ def _q04_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q05_lineitem_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """A12/A24: self-join pair expansion with canonical l<r
-    (reference calculate_expanded_match, main.py:697-712)."""
+    (reference calculate_expanded_match, main.py:697-712).
+
+    r6 shape: ONE exchange (groupBy okey) + in-row pair expansion over the
+    collected line numbers, replacing the self-join — the round-5 plan
+    broadcast the full 600k-row table and probed it from the single-file
+    scan's lone partition (one task built 1M output rows); group sizes are
+    bounded by lines-per-order (≤ 7), so the in-row expansion is O(k²) on
+    tiny arrays and the exchange parallelizes the output production. Same
+    rows (exceptAll-verified both directions + unchanged DuckDB oracle)."""
     li = _read(spark, sf, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("la"))
-    b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("lb"))
-    return a.join(b, "okey").filter(F.col("la") < F.col("lb")).select("okey", "la", "lb")
+    g = (
+        li.select(F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("ln"))
+        .groupBy("okey")
+        .agg(F.collect_list("ln").alias("lns"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "lns",
+            lambda x: F.transform(
+                F.filter("lns", lambda y: x < y),
+                lambda y: F.struct(x.alias("la"), y.alias("lb")),
+            ),
+        )
+    )
+    return g.select("okey", F.explode(pairs).alias("p")).select(
+        "okey", F.col("p.la").alias("la"), F.col("p.lb").alias("lb")
+    )
 
 
 def _q06_top_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:

@@ -500,7 +500,9 @@ def ivfpq_cosine_topk(
         F.col(vec_col).alias("_cv"),
         _l2_normalize(F.col(vec_col)).alias("_nva"),
     )
-    corpus_n = corpus_n.localCheckpoint(eager=False)
+    # eager: stats agg, training sample and the encoding pass all read this
+    # — pin the normalize to a single execution (the sampling-module idiom)
+    corpus_n = corpus_n.localCheckpoint(eager=True)
     stats = (
         corpus_n.select(F.size("_nva").alias("d"))
         .agg(F.max("d").alias("d"), F.count(F.lit(1)).alias("n"))

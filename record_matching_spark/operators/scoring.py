@@ -93,6 +93,12 @@ _LEV_THRESHOLD = _SIG_CHARS // 2
 _FEATURE_ROW_BYTES = 1024
 DEFAULT_BROADCAST_BUDGET_BYTES = 256 << 20
 
+# sha_features: above this many distinct documents the vocabulary may not
+# fit the driver/broadcast, so the idf attach falls back to the shuffle
+# join instead of the numpy-broadcast map-side finish (module constant so
+# tests can force the fallback and pin both paths to identical outputs)
+VOCAB_BROADCAST_MAX_DOCS = 1_000_000
+
 
 # ---------------------------------------------------------------- features
 
@@ -189,7 +195,7 @@ def sha_features(files: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     stage1 = stage1.localCheckpoint(eager=True)
     n_docs = int(obs.get["n"])
 
-    if n_docs <= 1_000_000:
+    if n_docs <= VOCAB_BROADCAST_MAX_DOCS:
         # vocab ≪ corpus: ship the idf table to executors as two sorted
         # numpy arrays and finish entirely map-side. The only shuffle in
         # this whole operator is the vocab-sized tid→df aggregate.
