@@ -606,8 +606,16 @@ def _lev_expr(suffix_a: str, suffix_b: str) -> F.Column:
             F.length(f"sig{suffix_a}"), F.length(f"sig{suffix_b}"), F.lit(1)
         )
     )
+    # equal non-empty sigs short-circuit to 1.0 — exactly lev's value for
+    # d=0 (1 − 0/max = 1.0), so the DP is skipped on the ~13% of ER pairs
+    # where clone-family members share the sorted-token prefix (r6
+    # measurement); must sit AFTER the both-empty case, which equal empty
+    # sigs would otherwise shadow
     return (
-        F.when(same, F.lit(1.0)).when(both_empty, F.lit(0.0)).otherwise(lev)
+        F.when(same, F.lit(1.0))
+        .when(both_empty, F.lit(0.0))
+        .when(F.col(f"sig{suffix_a}") == F.col(f"sig{suffix_b}"), F.lit(1.0))
+        .otherwise(lev)
     ).alias("lev_sig")
 
 
