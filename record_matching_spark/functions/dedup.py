@@ -32,6 +32,17 @@ def _fan_out(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        # only consult partition counts for shuffle-free (scan-rooted)
+        # plans: under AQE, .rdd on an exchange-bearing frame EXECUTES the
+        # upstream stages to learn the partition count (verified: one extra
+        # job) — and such inputs already carry shuffle-set parallelism
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(
+            tok in plan
+            for tok in ("Join", "Aggregate", "Sort", "Window",
+                        "Repartition", "Deduplicate", "Exchange")
+        ):
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
