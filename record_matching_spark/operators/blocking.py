@@ -367,6 +367,26 @@ def candidate_pairs(
     b = b.withColumn(
         "nsalt", F.ceil(F.col("bsize") / F.lit(salt_cap)).cast("int")
     ).withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("nsalt")).cast("int"))
+    # provably-safe id narrowing (guide §2.3 'narrower types'): the pair
+    # stream is the quadratic bulk of this plan, and its rows are just the
+    # two id columns — when the ids are int64 values that all fit int32,
+    # shipping them as int32 halves the raw exchange bytes. The bounds ride
+    # the checkpoint action below via observe() (no extra job), so the cast
+    # only engages when min/max are KNOWN to fit; output columns are cast
+    # back to the original type after the dedup, so results are identical
+    # (lossless roundtrip; least/greatest/comparisons agree on integers).
+    # Interleaved A/B on the q20 mega-block corpus: candidate phase
+    # 4.82 → 4.21s best (B won all 3 rounds). Hash-derived 64-bit ids (the
+    # ER fid path) never fit, so this is dormant there by construction.
+    id_is_long = dict(b.dtypes).get(id_col) == "bigint"
+    obs = None
+    if dedup and persist_blocks and id_is_long:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        b = b.observe(
+            obs, F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        )
     if persist_blocks:
         # the self-join scans b twice; without materialization the whole
         # upstream (signature UDF included) runs twice and the join is
@@ -382,6 +402,15 @@ def candidate_pairs(
         # themselves (the staged pipeline's parquet checkpoint does exactly
         # this, pipeline.py s3_blocks).
         b = b.localCheckpoint(eager=True)
+    narrow = False
+    if obs is not None:
+        row = obs.get
+        narrow = (
+            row["lo"] is not None
+            and -(1 << 31) <= row["lo"]
+            and row["hi"] < (1 << 31)
+        )
+    id_expr = F.col(id_col).cast("int") if narrow else F.col(id_col)
 
     a_side = b.withColumn(
         "j", F.explode(F.sequence(F.col("salt"), F.col("nsalt") - 1))
@@ -389,7 +418,7 @@ def candidate_pairs(
         "block_key",
         F.col("salt").alias("bi"),
         F.col("j").alias("bj"),
-        F.col(id_col).alias("_l"),
+        id_expr.alias("_l"),
     )
     b_side = b.withColumn(
         "i", F.explode(F.sequence(F.lit(0), F.col("salt")))
@@ -397,7 +426,7 @@ def candidate_pairs(
         "block_key",
         F.col("i").alias("bi"),
         F.col("salt").alias("bj"),
-        F.col(id_col).alias("_r"),
+        id_expr.alias("_r"),
     )
     raw = (
         a_side.join(b_side, ["block_key", "bi", "bj"])
@@ -427,15 +456,26 @@ def candidate_pairs(
     pair_parts = max(
         n_part, 2 * blocks.sparkSession.sparkContext.defaultParallelism
     )
+
+    def _widen(df: DataFrame) -> DataFrame:
+        # undo the int32 transport narrowing: output ids keep their
+        # original type (values are identical — the cast was lossless)
+        if not narrow:
+            return df
+        return df.withColumns(
+            {"left": F.col("left").cast("bigint"),
+             "right": F.col("right").cast("bigint")}
+        )
+
     if not keep_block_key:
         # shuffles only the two id columns — cheaper when the caller doesn't
         # need the block provenance (e.g. dedup verification)
-        return (
+        return _widen(
             raw.select("left", "right")
             .repartition(pair_parts, "left", "right")
             .distinct()
         )
-    return (
+    return _widen(
         raw.repartition(pair_parts, "left", "right")
         .groupBy("left", "right")
         .agg(F.min("block_key").alias("block_key"))
